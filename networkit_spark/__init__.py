@@ -1,0 +1,46 @@
+"""networkit_spark — a from-scratch, PySpark-native link-graph analytics engine.
+
+Re-expresses the query surface of the NetworKit graph-analysis core
+(reference: /root/reference, C++17/OpenMP + Cython) as idiomatic Spark
+DataFrame programs: an immutable ``edges`` DataFrame plus iterative
+message-passing rounds (join → groupBy-agg → window) driven from the
+driver, with explicit skew handling, lineage-truncating checkpoints, and
+no per-row Python in any algorithm inner loop.
+
+The public API mirrors the reference's lifecycle
+(``Algo(G, params).run()`` then accessors — see
+``/root/reference/networkit/base.pyx:26-29`` and
+``include/networkit/base/Algorithm.hpp:31``) so a NetworKit user can map
+their workflow 1:1 onto this engine.
+"""
+
+from networkit_spark.graph import Graph
+from networkit_spark.session import get_spark
+
+from networkit_spark.operators.degree import DegreeCentrality
+from networkit_spark.operators.pagerank import PageRank
+from networkit_spark.operators.components import (
+    ConnectedComponents,
+    WeaklyConnectedComponents,
+)
+from networkit_spark.operators.plp import PLP
+from networkit_spark.operators.triangles import (
+    LocalClusteringCoefficient,
+    TriangleEdgeScore,
+    GlobalClusteringCoefficient,
+)
+
+__all__ = [
+    "Graph",
+    "get_spark",
+    "DegreeCentrality",
+    "PageRank",
+    "ConnectedComponents",
+    "WeaklyConnectedComponents",
+    "PLP",
+    "LocalClusteringCoefficient",
+    "TriangleEdgeScore",
+    "GlobalClusteringCoefficient",
+]
+
+__version__ = "0.1.0"

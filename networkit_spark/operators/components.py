@@ -1,0 +1,237 @@
+"""Connected components — hash-min label propagation with path shortcuts.
+
+Reference semantics:
+
+- ``ConnectedComponents`` (``cpp/components/ConnectedComponentsImpl.cpp:
+  24-101``) runs BFS per unvisited node, labels = discovery order. BFS is
+  inherently sequential; the reference itself ships the parallel variant
+  ``ParallelConnectedComponents`` (``ParallelConnectedComponents.cpp:
+  20-97``): labels init to node id (``Partition::allToSingletons``,
+  ``cpp/structures/Partition.cpp:30-33``), then repeated
+  ``label[u] ← min(label[u], min_{v∈N(u)} label[v])`` with coarsening
+  recursion after 8 rounds (``:81-94``).
+- The **partition** (which nodes share a component) is identical across
+  variants; only the label values differ. We canonicalize to
+  ``label = min node id in component`` — comparisons against the
+  reference's discovery-order labels go through this relabel (SURVEY §5).
+
+Spark plan per round (the canonical distributed hash-min):
+
+    sym_edges ⋈ labels on src → groupBy(dst).min(label) → least(old, new)
+
+plus a **pointer-doubling shortcut** ``label[u] ← label[label[u]]`` each
+round (a join of labels with itself), which collapses label chains and
+brings round count from O(diameter) to O(log n) — the same effect as the
+reference's coarsening recursion and the large-star/small-star rounds of
+Kiveris et al. (PAPERS.md). Convergence = zero labels changed (one scalar
+agg per round). Rounds are lineage-cut / durably checkpointed like
+PageRank.
+
+``WeaklyConnectedComponents`` (``WeaklyConnectedComponents.cpp``, neighbors
+= out ∪ in per ``ConnectedComponentsImpl.cpp:58-59``) is the same kernel
+over the symmetrized directed edge table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.base import Algorithm
+from networkit_spark.plans.iterate import CheckpointStore, Materializer
+
+
+class ConnectedComponents(Algorithm):
+    """Undirected connected components; rejects directed input like the
+    reference ctor (``ConnectedComponentsImpl.cpp:14-17``)."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        store: CheckpointStore | None = None,
+        shortcut: bool = True,
+        max_iterations: int = 200,
+    ) -> None:
+        if graph.directed and type(self) is ConnectedComponents:
+            raise ValueError(
+                "ConnectedComponents requires an undirected graph; use "
+                "WeaklyConnectedComponents (ConnectedComponentsImpl.cpp:14-17)"
+            )
+        super().__init__(graph)
+        self.store = store
+        self.shortcut = shortcut
+        self.max_iterations = max_iterations
+        self._labels: DataFrame | None = None
+        self._iterations = 0
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        sym = g.symmetrized().select("src", "dst").where(F.col("src") != F.col("dst"))
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = sym.repartition(shuffle_parts, "src").persist()
+
+        mat = Materializer(self.store)
+        start_iter = 0
+        labels = None
+        if self.store is not None:
+            resumed = self.store.latest(spark)
+            if resumed is not None:
+                start_iter, labels = resumed
+        if labels is None:
+            # allToSingletons (Partition.cpp:30-33): label = own id
+            labels = g.vertices.select("id", F.col("id").alias("label"))
+            labels = mat.cut(0, labels, {"phase": "init"})
+
+        it = start_iter
+        while it - start_iter < self.max_iterations:
+            t0 = time.time()
+            it += 1
+            # neighbor-min gather: min label over in-neighbors of dst
+            nbr_min = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            cand = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            if self.shortcut:
+                # pointer doubling: label[u] ← label[label[u]]
+                parent = cand.select(
+                    F.col("id").alias("pid"), F.col("label").alias("plabel")
+                )
+                cand = (
+                    cand.join(parent, cand.label == parent.pid, "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("label"), F.coalesce("plabel", F.col("label"))
+                        ).alias("label"),
+                    )
+                )
+            cand = mat.cut(it, cand, None) if self.store is None else cand
+            changed = (
+                cand.alias("new")
+                .join(labels.alias("old"), "id")
+                .where(F.col("new.label") != F.col("old.label"))
+                .count()
+            )
+            if self.store is not None:
+                cand = mat.cut(
+                    it,
+                    cand,
+                    {
+                        "algo": "connected_components",
+                        "changed": changed,
+                        "iter_wall_s": round(time.time() - t0, 4),
+                    },
+                )
+            labels = cand
+            if changed == 0:
+                break
+        self._iterations = it - start_iter
+        self._labels = labels
+        sym.unpersist()
+
+    # ------------------------------------------------------------ accessors
+    def get_partition(self) -> DataFrame:
+        """``labels(id, label)`` with label = min node id in component —
+        the canonical relabel of the reference's Partition
+        (``components.pyx:47-55``)."""
+        self.assure_finished()
+        return self._labels
+
+    def number_of_components(self) -> int:
+        """``ConnectedComponents::numberOfComponents``
+        (``components.pyx:57-63``)."""
+        self.assure_finished()
+        return self._labels.select("label").distinct().count()
+
+    def component_of_node(self, u: int) -> int:
+        self.assure_finished()
+        rows = self._labels.where(F.col("id") == u).collect()
+        if not rows:
+            raise KeyError(u)
+        return rows[0]["label"]
+
+    def get_component_sizes(self) -> DataFrame:
+        """``getComponentSizes`` ≡ ``Partition::subsetSizes``
+        (``Partition.cpp:100-108``)."""
+        self.assure_finished()
+        return self._labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+    def number_of_iterations(self) -> int:
+        self.assure_finished()
+        return self._iterations
+
+    def compact_partition(self) -> DataFrame:
+        """Dense 0-based component ids (``Partition::compact``,
+        ``Partition.cpp:69-98``): dense_rank over distinct labels."""
+        self.assure_finished()
+        from pyspark.sql import Window
+
+        w = Window.orderBy("label")
+        distinct = self._labels.select("label").distinct().select(
+            "label", (F.dense_rank().over(w) - 1).alias("compact_label")
+        )
+        return self._labels.join(F.broadcast(distinct), "label").select(
+            "id", F.col("compact_label").alias("label")
+        )
+
+
+class WeaklyConnectedComponents(ConnectedComponents):
+    """Directed weakly-connected components: same kernel, neighbors
+    = out ∪ in (``WeaklyConnectedComponents.cpp``,
+    ``ConnectedComponentsImpl.cpp:10-22,58-59``)."""
+
+    def __init__(self, graph: Graph, **kwargs) -> None:
+        if not graph.directed:
+            raise ValueError(
+                "WeaklyConnectedComponents requires a directed graph "
+                "(ConnectedComponentsImpl.cpp:19-22)"
+            )
+        super().__init__(graph, **kwargs)
+
+
+def extract_largest_connected_component(
+    graph: Graph, compact: bool = False
+) -> Graph:
+    """``ConnectedComponents::extractLargestConnectedComponent``
+    (``ConnectedComponentsImpl.cpp:72-101``): labels → argmax component by
+    size → induced subgraph; ``compact=True`` remaps the surviving node
+    ids to dense 0..k-1 by ascending original id (dense_rank)."""
+    cc = ConnectedComponents(graph).run()
+    labels = cc.get_partition()
+    top = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(1)
+    )
+    keep = labels.join(F.broadcast(top.select("label")), "label").select("id")
+    sub = graph.subgraph_from_nodes(keep)
+    if not compact:
+        return sub
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")
+    remap = keep.select("id", (F.row_number().over(w) - 1).alias("new_id"))
+    e = sub.edges
+    e = (
+        e.join(remap.withColumnRenamed("id", "src").withColumnRenamed("new_id", "new_src"), "src")
+        .join(remap.withColumnRenamed("id", "dst").withColumnRenamed("new_id", "new_dst"), "dst")
+        .select(
+            F.col("new_src").alias("src"), F.col("new_dst").alias("dst"), "weight"
+        )
+    )
+    verts = remap.select(F.col("new_id").alias("id"))
+    return Graph(e, directed=graph.directed, weighted=graph.weighted, vertices=verts)

@@ -1,0 +1,304 @@
+"""PageRank — power iteration as DataFrame message passing.
+
+Reference semantics (``cpp/centrality/PageRank.cpp:19-81``), reproduced
+exactly — these details are easy to get "textbook-correct" but
+reference-wrong:
+
+- init ``1/n`` for every existing node (``PageRank.cpp:30-31``);
+- per round, pull over **in**-edges:
+  ``pr[u] = damp · Σ_{v∈In(u)} pr[v]·w(v,u)/wdeg_out(v) + (1-damp)/n``
+  (``PageRank.cpp:55-64``); undirected graphs pull over the symmetric
+  edge view;
+- **no dangling redistribution** — mass leaks each round and a single
+  final normalization divides by ``Σ pr`` (``PageRank.cpp:74-78``);
+- convergence after each round: ``iterations ≥ maxIterations`` OR
+  ``norm(new-old) ≤ tol``, with L1 = Σ|Δ|, L2 = √ΣΔ²; at least one round
+  always runs; the iteration counter increments before the test
+  (``PageRank.cpp:40-53``; norm enum ``PageRank.hpp:65``, default L2;
+  Python default tol=1e-9, ``networkit/centrality.pyx:1758``).
+
+Spark plan per round (all JVM-side, no Python in the loop):
+
+    contrib(src, dst, frac)  --join ranks on src-->  groupBy(dst).sum
+        --right join vertices-->  damp·Σ + teleport  --> new ranks
+
+``contrib = weight / wdeg_out(src)`` is precomputed once and persisted,
+partitioned by ``src`` so the per-round join shuffles only the small
+ranks table. When the vertex set is small enough the ranks side is
+broadcast (frontier broadcast per north_star) and the big edge table is
+never shuffled at all. Hub ``dst`` skew in the aggregation is absorbed by
+map-side partial aggregation; AQE skew-join splitting covers the join
+side. Each round's result has its lineage cut (localCheckpoint) or is
+durably checkpointed with per-partition lineage + metrics for resume
+(north_rule) via :class:`networkit_spark.plans.iterate.CheckpointStore`.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.base import Centrality
+from networkit_spark.plans.iterate import CheckpointStore, Materializer
+
+#: broadcast the ranks table when the vertex count is below this
+BROADCAST_VERTEX_LIMIT = 5_000_000
+
+
+class PageRank(Centrality):
+    def __init__(
+        self,
+        graph: Graph,
+        damp: float = 0.85,
+        tol: float = 1e-9,
+        norm: str = "l2",
+        max_iterations: int | None = None,
+        store: CheckpointStore | None = None,
+        broadcast_ranks: bool | None = None,
+    ) -> None:
+        super().__init__(graph)
+        if norm not in ("l1", "l2"):
+            raise ValueError("norm must be 'l1' or 'l2'")
+        self.damp = damp
+        self.tol = tol
+        self.norm = norm
+        self.max_iterations = max_iterations
+        self.store = store
+        self.broadcast_ranks = broadcast_ranks
+        self._iterations = 0
+
+    def number_of_iterations(self) -> int:
+        """``PageRank::numberOfIterations`` (``PageRank.hpp:71``)."""
+        self.assure_finished()
+        return self._iterations
+
+    # ------------------------------------------------------------------
+    def _build_contrib(self):
+        """(src, dst, frac=weight/wdeg_out(src)) — the message matrix."""
+        g = self.graph
+        base = g.edges if g.directed else g.symmetrized()
+        degs = g.degrees().select("id", "w_out_deg")
+        contrib = (
+            base.join(degs, base.src == degs.id)
+            .select("src", "dst", (F.col("weight") / F.col("w_out_deg")).alias("frac"))
+        )
+        return contrib
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        n = g.number_of_nodes()
+        if n == 0:
+            self._scores = g.vertices.select("id", F.lit(0.0).alias("score"))
+            return
+        teleport = (1.0 - self.damp) / n
+
+        contrib = self._build_contrib()
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        contrib = contrib.repartition(shuffle_parts, "src").persist()
+        vertices = g.vertices.persist()
+
+        do_broadcast = (
+            self.broadcast_ranks
+            if self.broadcast_ranks is not None
+            else n <= BROADCAST_VERTEX_LIMIT
+        )
+
+        mat = Materializer(self.store)
+        start_iter = 0
+        ranks = None
+        if self.store is not None:
+            resumed = self.store.latest(spark)
+            if resumed is not None:
+                start_iter, ranks = resumed
+        if ranks is None:
+            ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+            ranks = mat.cut(0, ranks, {"phase": "init", "n": n})
+
+        it = start_iter
+        while True:
+            t0 = time.time()
+            it += 1
+            r = F.broadcast(ranks) if do_broadcast else ranks
+            incoming = (
+                contrib.join(r, contrib.src == r.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("frac")).alias("msum"))
+            )
+            new_ranks = (
+                vertices.join(incoming, vertices.id == incoming.dst, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(self.damp) * F.coalesce("msum", F.lit(0.0))
+                        + F.lit(teleport)
+                    ).alias("rank"),
+                )
+            )
+            # materialize before the delta agg so the round runs once
+            new_ranks = mat.cut(it, new_ranks, None) if self.store is None else new_ranks
+
+            diff = new_ranks.alias("new").join(ranks.alias("old"), "id")
+            if self.norm == "l1":
+                delta_expr = F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
+            else:
+                delta_expr = F.sqrt(F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2)))
+            delta = diff.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
+
+            if self.store is not None:
+                new_ranks = mat.cut(
+                    it,
+                    new_ranks,
+                    {
+                        "algo": "pagerank",
+                        "delta": delta,
+                        "norm": self.norm,
+                        "iter_wall_s": round(time.time() - t0, 4),
+                    },
+                )
+            ranks = new_ranks
+            # reference order: increment, then test maxIterations OR tol
+            # (PageRank.cpp:40-53)
+            if (self.max_iterations is not None and it >= self.max_iterations) or (
+                delta <= self.tol
+            ):
+                break
+
+        self._iterations = it - start_iter
+        total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+        self._scores = ranks.select("id", (F.col("rank") / F.lit(total)).alias("score"))
+        contrib.unpersist()
+
+
+class EigenvectorCentrality(Centrality):
+    """Power iteration over in-edges, L2-normalized each round
+    (``cpp/centrality/EigenvectorCentrality.cpp:21-66``): same loop
+    skeleton as PageRank minus teleport/damping; converges on the L2
+    residual of successive normalized vectors."""
+
+    def __init__(
+        self, graph: Graph, tol: float = 1e-9, max_iterations: int | None = None
+    ) -> None:
+        super().__init__(graph)
+        self.tol = tol
+        self.max_iterations = max_iterations
+        self._iterations = 0
+
+    def _run(self) -> None:
+        g = self.graph
+        n = g.number_of_nodes()
+        base = g.edges if g.directed else g.symmetrized()
+        msg = base.select("src", "dst", "weight").persist()
+        vertices = g.vertices
+        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+        mat = Materializer()
+        it = 0
+        while True:
+            it += 1
+            r = F.broadcast(ranks) if n <= BROADCAST_VERTEX_LIMIT else ranks
+            incoming = (
+                msg.join(r, msg.src == r.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("weight")).alias("msum"))
+            )
+            new_ranks = vertices.join(
+                incoming, vertices.id == incoming.dst, "left"
+            ).select("id", F.coalesce("msum", F.lit(0.0)).alias("rank"))
+            norm = new_ranks.agg(
+                F.sqrt(F.sum(F.pow("rank", 2))).alias("s")
+            ).collect()[0]["s"]
+            if not norm:
+                break
+            new_ranks = new_ranks.select(
+                "id", (F.col("rank") / F.lit(norm)).alias("rank")
+            )
+            new_ranks = mat.cut(it, new_ranks)
+            delta = (
+                new_ranks.alias("new")
+                .join(ranks.alias("old"), "id")
+                .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d"))
+                .collect()[0]["d"]
+                or 0.0
+            )
+            ranks = new_ranks
+            if (self.max_iterations is not None and it >= self.max_iterations) or (
+                delta <= self.tol
+            ):
+                break
+        self._iterations = it
+        self._scores = ranks.select("id", F.col("rank").alias("score"))
+        msg.unpersist()
+
+
+class KatzCentrality(Centrality):
+    """``val[u] = Σ_v α·w·(1+score[v]) + β`` iterated to tolerance, then
+    L2-normalized (``cpp/centrality/KatzCentrality.cpp:15-77``)."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        alpha: float | None = None,
+        beta: float = 0.1,
+        tol: float = 1e-8,
+        max_iterations: int | None = None,
+    ) -> None:
+        super().__init__(graph)
+        self.alpha = alpha
+        self.beta = beta
+        self.tol = tol
+        self.max_iterations = max_iterations
+        self._iterations = 0
+
+    def _run(self) -> None:
+        g = self.graph
+        n = g.number_of_nodes()
+        base = g.edges if g.directed else g.symmetrized()
+        alpha = self.alpha
+        if alpha is None:
+            # reference default: 1/(1+maxDegree) (KatzCentrality.cpp:20-24)
+            maxdeg = (
+                g.degrees().agg(F.max("out_deg").alias("m")).collect()[0]["m"] or 0
+            )
+            alpha = 1.0 / (1.0 + maxdeg)
+        msg = base.select("src", "dst", "weight").persist()
+        vertices = g.vertices
+        scores = vertices.select("id", F.lit(0.0).alias("rank")).localCheckpoint()
+        mat = Materializer()
+        it = 0
+        while True:
+            it += 1
+            r = F.broadcast(scores) if n <= BROADCAST_VERTEX_LIMIT else scores
+            incoming = (
+                msg.join(r, msg.src == r.id)
+                .groupBy("dst")
+                .agg(F.sum((F.lit(1.0) + F.col("rank")) * F.col("weight")).alias("msum"))
+            )
+            new_scores = vertices.join(
+                incoming, vertices.id == incoming.dst, "left"
+            ).select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce("msum", F.lit(0.0)) + F.lit(self.beta)
+                ).alias("rank"),
+            )
+            new_scores = mat.cut(it, new_scores)
+            delta = (
+                new_scores.alias("new")
+                .join(scores.alias("old"), "id")
+                .agg(F.max(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d"))
+                .collect()[0]["d"]
+                or 0.0
+            )
+            scores = new_scores
+            if (self.max_iterations is not None and it >= self.max_iterations) or (
+                delta <= self.tol
+            ):
+                break
+        self._iterations = it
+        norm = scores.agg(F.sqrt(F.sum(F.pow("rank", 2))).alias("s")).collect()[0]["s"]
+        self._scores = scores.select(
+            "id", (F.col("rank") / F.lit(norm or 1.0)).alias("score")
+        )
+        msg.unpersist()
