@@ -1,0 +1,116 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric follows BASELINE.json: PageRank edges/sec per
+iteration (damping 0.85, L1 tol 1e-6) on the link graph derived from the
+scale-factor directory, plus per-query wall seconds for the rest of the
+operator suite. ``value`` is the total wall time of the benched query set.
+
+Scaling evidence (north_rule's two-cluster-size criterion) is produced by
+``scripts/scaling_bench.py`` which runs the same PageRank job at two
+local parallelism levels; its results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from networkit_spark.session import get_spark  # noqa: E402
+
+
+def _materialize(df) -> int:
+    """Force full computation of every row (noop sink, no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_pagerank(spark, sf_dir: str) -> dict:
+    """Headline: PageRank to L1<=1e-6 — edges/s per iteration."""
+    from __spark_entry__ import directed_graph
+    from networkit_spark import PageRank
+
+    g = directed_graph(spark, sf_dir)
+    m = g.number_of_edges()
+    t0 = time.time()
+    pr = PageRank(g, damp=0.85, tol=1e-6, norm="l1").run()
+    _materialize(pr.scores())
+    wall = time.time() - t0
+    iters = pr.number_of_iterations()
+    return {
+        "wall_s": round(wall, 3),
+        "iterations": iters,
+        "edges": m,
+        "edges_per_sec_per_iter": round(m * iters / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark("networkit-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    # Headline iterative kernel measured with full convergence semantics.
+    pr_stats = bench_pagerank(spark, sf_dir)
+
+    # The rest of the operator suite, one timed materialization each.
+    bench_queries = [
+        "degree",
+        "components",
+        "plp",
+        "triangles",
+        "lcc",
+        "triangle_edge_score",
+        "doc_exact_dedup",
+        "doc_minhash_near_dup",
+        "doc_simhash",
+        "doc_lang_id",
+        "doc_tokens",
+        "emb_topk_cosine",
+        "events_latest",
+    ]
+    qmap = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    for name in bench_queries:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+    per_query["pagerank_converged"] = pr_stats["wall_s"]
+
+    total = round(sum(per_query.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "pagerank": pr_stats,
+                "pagerank_edges_per_sec_per_iter": pr_stats["edges_per_sec_per_iter"],
+                "cpus": cpus,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
