@@ -520,6 +520,329 @@ SELECT user_id, event_id, event_type FROM (
 """
 
 
+# --------------------------------------------------- dedup / similarity ops
+_MH_HASHES = 16
+_MH_BANDS = 4
+_MH_ROWS = 4
+_MH_K = 3
+_MH_THRESHOLD = 0.1
+
+
+def _sql_hash32(expr: str, salt: str) -> str:
+    """DuckDB twin of dedup.portable_hash32."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{salt}:' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+
+
+_SQL_SHINGLES = r"""
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok,
+       (SELECT unnest(generate_series(1, (SELECT max(len(toks)) FROM tok))) AS i) s
+  WHERE i <= len(toks) - 2
+)"""
+
+
+def q_doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection with exact-Jaccard verify."""
+    from networkit_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(
+        docs,
+        threshold=_MH_THRESHOLD,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        k=_MH_K,
+    )
+
+
+def q_doc_minhash_near_dup_sql() -> str:
+    mins = ",\n         ".join(
+        f"min({_sql_hash32('shingle', f'mh{i}')}) AS h{i}" for i in range(_MH_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT {b} AS band, concat_ws('_', {cols}) AS key, doc_id FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bk AS (
+{band_rows}
+),
+sized AS (SELECT band, key, count(*) AS sz FROM bk GROUP BY band, key),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bk l
+  JOIN bk r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  JOIN sized s ON s.band = l.band AND s.key = l.key AND s.sz <= 1000
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, i.inter,
+       ca.n_sh + cb.n_sh - i.inter AS union_sz,
+       round(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.a
+JOIN counts cb ON cb.doc_id = i.b
+WHERE round(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6) >= {_MH_THRESHOLD}
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def q_doc_simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(32))
+    return rf"""
+WITH tokrow AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+th AS (SELECT doc_id, {_sql_hash32('tok', 'sh')} AS h FROM tokrow),
+agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs)
+
+
+def q_doc_lang_id_sql() -> str:
+    from networkit_spark.operators.textstats import LANG_MARKERS
+
+    def count_sql(w: str) -> str:
+        pat = f" {w} "
+        return (
+            f"CAST((len(p) - len(regexp_replace(p, '{pat}', '', 'g'))) / {len(pat)} AS BIGINT)"
+        )
+
+    lang_counts = ",\n       ".join(
+        f"({' + '.join(count_sql(w) for w in words)}) AS c_{lang}"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return rf"""
+WITH padded AS (
+  SELECT doc_id, ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS p
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+       {lang_counts}
+  FROM padded
+)
+SELECT doc_id,
+       CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(c_de, c_en, c_es, c_fr) AS score
+FROM cnt
+"""
+
+
+def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 8 (brute force)."""
+    from networkit_spark.operators.similarity import topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_cosine(emb, queries, k=5)
+
+
+def q_emb_topk_cosine_sql() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6) AS cos
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH — the scale path.
+    No SQL oracle (hyperplane generation is engine-side); the driver
+    records a rows-only check and tests assert recall vs brute force."""
+    from networkit_spark.operators.similarity import topk_cosine_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_cosine_lsh(emb, queries, k=5, planes=6, tables=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction via mapInPandas (decode stubbed
+    deterministically); byte stats are oracle-checkable for ASCII text."""
+    from networkit_spark.operators.multimodal import (
+        assets_from_documents,
+        extract_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(assets_from_documents(docs))
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "byte_sum",
+        F.round("byte_mean", 6).alias("byte_mean"),
+    )
+
+
+def q_multimodal_features_sql() -> str:
+    return """
+SELECT asset_id, n_bytes, byte_sum,
+       round(CAST(byte_sum AS DOUBLE) / greatest(n_bytes, 1), 6) AS byte_mean
+FROM (
+  SELECT doc_id AS asset_id,
+         len(text) AS n_bytes,
+         CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT)
+           AS byte_sum
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------- ingest pipeline (input_hint)
+def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-reconstructible pages table built from ``documents``: url per
+    doc, html wrapping the text plus 3 deterministic anchors — the
+    fixture that puts the whole Arrow-UDF ingest path under the oracle
+    gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://ex.test/p/"), F.col("doc_id").cast("string"))
+    anchors = F.concat(
+        *[
+            F.concat(
+                F.lit('<a href="https://ex.test/p/'),
+                ((F.col("doc_id") * 31 + j * 17) % 1000).cast("string"),
+                F.lit('"></a>'),
+            )
+            for j in range(3)
+        ]
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extraction invariant (input_hint): the frozen
+    Arrow-UDF extractor applied to reconstructed html must reproduce the
+    document text exactly — compared by md5 against the oracle."""
+    from networkit_spark.sources.linkgraph import extracted_text
+
+    pages = _doc_pages(spark, sf_dir)
+    ext = extracted_text(pages)
+    doc_id = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1).cast("long")
+    return ext.select(doc_id.alias("doc_id"), F.md5("text").alias("text_md5"))
+
+
+def q_extract_text_sql() -> str:
+    # oracle md5 over whitespace-collapsed text == extractor output
+    return r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5
+FROM documents
+"""
+
+
+def q_link_pipeline_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest pipeline under the gate: pages → UDF link extraction →
+    url normalization → deterministic dense-id dictionary → edge table →
+    degrees. Never-crawled link targets get ids too (the
+    ``continuous=false`` reader behavior, EdgeListReader.cpp:60-78)."""
+    from networkit_spark.sources.linkgraph import build_link_graph
+
+    pages = _doc_pages(spark, sf_dir)
+    g, vd = build_link_graph(pages)
+    return (
+        vd.join(g.degrees(), "id")
+        .select("url", "id", "out_deg", "in_deg")
+    )
+
+
+def q_link_pipeline_degree_sql() -> str:
+    return """
+WITH links AS (
+  SELECT 'https://ex.test/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+         'https://ex.test/p/' || CAST((doc_id * 31 + j * 17) % 1000 AS VARCHAR) AS dst_url
+  FROM documents, generate_series(0, 2) t(j)
+),
+urls AS (
+  SELECT src_url AS url FROM links UNION SELECT dst_url FROM links
+),
+dict AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM urls),
+edges AS (
+  SELECT s.id AS src, d.id AS dst, count(*) AS mult
+  FROM links l JOIN dict s ON s.url = l.src_url JOIN dict d ON d.url = l.dst_url
+  GROUP BY s.id, d.id
+)
+SELECT dd.url, dd.id,
+       coalesce(o.c, 0) AS out_deg,
+       coalesce(i.c, 0) AS in_deg
+FROM dict dd
+LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = dd.id
+LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = dd.id
+"""
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank top-100 on the sf0.001 link graph."""
@@ -544,6 +867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_near_dup": q_doc_minhash_near_dup,
+        "doc_simhash": q_doc_simhash,
+        "doc_lang_id": q_doc_lang_id,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "extract_text": q_extract_text,
+        "link_pipeline_degree": q_link_pipeline_degree,
         "events_latest": q_events_latest,
     }
 
@@ -564,5 +895,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),
         "doc_fingerprint": q_doc_fingerprint_sql(),
+        "doc_minhash_near_dup": q_doc_minhash_near_dup_sql(),
+        "doc_simhash": q_doc_simhash_sql(),
+        "doc_lang_id": q_doc_lang_id_sql(),
+        "emb_topk_cosine": q_emb_topk_cosine_sql(),
+        # emb_ann_lsh: no SQL oracle (engine-side hyperplanes) — rows-only
+        "multimodal_features": q_multimodal_features_sql(),
+        "extract_text": q_extract_text_sql(),
+        "link_pipeline_degree": q_link_pipeline_degree_sql(),
         "events_latest": q_events_latest_sql(),
     }

@@ -30,11 +30,18 @@ from networkit_spark.operators.triangles import (
     GlobalClusteringCoefficient,
 )
 
+from networkit_spark.operators.pagerank import (
+    EigenvectorCentrality,
+    KatzCentrality,
+)
+
 __all__ = [
     "Graph",
     "get_spark",
     "DegreeCentrality",
     "PageRank",
+    "EigenvectorCentrality",
+    "KatzCentrality",
     "ConnectedComponents",
     "WeaklyConnectedComponents",
     "PLP",
