@@ -520,6 +520,195 @@ SELECT user_id, event_id, event_type FROM (
 """
 
 
+# --------------------------------------------------- extended graph kernels
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition via iterative peel — no SQL oracle (the peel is
+    a fixpoint recursion with aggregation, not expressible in recursive
+    CTEs); exactness is pytest-verified on golden graphs."""
+    from networkit_spark.operators.kcore import CoreDecomposition
+
+    g = undirected_graph(spark, sf_dir)
+    cd = CoreDecomposition(g).run()
+    return cd.core_numbers().select("id", "core")
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from node 0 on the undirected graph."""
+    from networkit_spark.operators.distance import BFS
+
+    g = undirected_graph(spark, sf_dir)
+    bfs = BFS(g, source=0, max_hops=30).run()
+    return bfs.distances().select("id", "dist")
+
+
+def q_bfs_hops_sql() -> str:
+    return f"""
+WITH RECURSIVE {_sql_undirected(V_SMALL)},
+walk (id, d) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS d
+  UNION
+  SELECT s.dst AS id, w.d + 1 AS d
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.d < 30
+)
+SELECT id, min(d) AS dist FROM walk GROUP BY id
+"""
+
+
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract the undirected graph by its connected-component labels
+    (``ParallelPartitionCoarsening``): super-edges with summed weights."""
+    from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
+
+    g = undirected_graph(spark, sf_dir)
+    cc = ConnectedComponents(g).run()
+    pc = ParallelPartitionCoarsening(g, cc.get_partition()).run()
+    return pc.get_coarse_graph().edges.select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_coarsen_sql() -> str:
+    return f"""
+WITH RECURSIVE {_sql_undirected(V_SMALL)},
+reach (id, label) AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT s.dst AS id, r.label AS label
+  FROM reach r JOIN sym s ON s.src = r.id
+),
+labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+compact AS (
+  SELECT label, row_number() OVER (ORDER BY label) - 1 AS super
+  FROM (SELECT DISTINCT label FROM labels)
+),
+mapping AS (SELECT l.id, c.super FROM labels l JOIN compact c USING (label))
+SELECT least(ms.super, md.super) AS src,
+       greatest(ms.super, md.super) AS dst,
+       round(sum(e.weight), 6) AS weight
+FROM edges e
+JOIN mapping ms ON ms.id = e.src
+JOIN mapping md ON md.id = e.dst
+GROUP BY 1, 2
+"""
+
+
+def q_triangle_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsification: GlobalThresholdFilter keeping edges with triangle
+    (common-neighbor) score ≥ 2."""
+    from networkit_spark.operators.sparsification import global_threshold_filter
+
+    g = undirected_graph(spark, sf_dir)
+    tes = TriangleEdgeScore(g).run()
+    kept = global_threshold_filter(
+        g, tes.edge_scores().withColumn("score", F.col("score").cast("double")), 2.0
+    )
+    return kept.edges.select("src", "dst")
+
+
+def q_triangle_filter_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_ORIENTED},
+epairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c) AS u, greatest(a, c) AS v FROM tris
+  UNION ALL SELECT least(b, c) AS u, greatest(b, c) AS v FROM tris
+)
+SELECT e.src, e.dst
+FROM edges e
+JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
+  ON p.u = e.src AND p.v = e.dst
+WHERE p.cnt >= 2
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction indices over a deterministic pair sample (every
+    canonical edge with (src+dst) % 7 == 0 — predicts existing links)."""
+    from networkit_spark.operators.linkprediction import link_prediction_scores
+
+    g = undirected_graph(spark, sf_dir)
+    pairs = (
+        g.canonical()
+        .where((F.col("src") + F.col("dst")) % 7 == 0)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    return link_prediction_scores(g, pairs)
+
+
+def q_link_prediction_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj AS (SELECT DISTINCT src, dst FROM sym),
+degs AS (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src),
+pairs AS (
+  SELECT DISTINCT src AS u, dst AS v FROM edges WHERE (src + dst) % 7 = 0
+),
+cn AS (
+  SELECT p.u, p.v, a1.dst AS w
+  FROM pairs p
+  JOIN adj a1 ON a1.src = p.u
+  JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
+),
+agg AS (
+  SELECT cn.u, cn.v, count(*) AS common_neighbors,
+         sum(CASE WHEN d.deg > 1 THEN 1.0 / ln(d.deg) ELSE 0.0 END) AS aa
+  FROM cn JOIN degs d ON d.id = cn.w
+  GROUP BY cn.u, cn.v
+)
+SELECT p.u, p.v,
+       coalesce(a.common_neighbors, 0) AS common_neighbors,
+       round(CAST(coalesce(a.common_neighbors, 0) AS DOUBLE)
+             / greatest(coalesce(du.deg, 0) + coalesce(dv.deg, 0)
+                        - coalesce(a.common_neighbors, 0), 1), 6) AS jaccard,
+       round(coalesce(a.aa, 0.0), 6) AS adamic_adar,
+       coalesce(du.deg, 0) * coalesce(dv.deg, 0) AS pref_attachment
+FROM pairs p
+LEFT JOIN agg a ON a.u = p.u AND a.v = p.v
+LEFT JOIN degs du ON du.id = p.u
+LEFT JOIN degs dv ON dv.id = p.v
+"""
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 5 power-iteration rounds (fixed count so
+    the unrolled SQL oracle is exact)."""
+    from networkit_spark import EigenvectorCentrality
+
+    g = directed_graph(spark, sf_dir)
+    ev = EigenvectorCentrality(g, tol=0.0, max_iterations=5).run()
+    return ev.scores().select("id", F.round("score", 8).alias("score"))
+
+
+def q_eigenvector_sql() -> str:
+    steps = []
+    for k in range(1, 6):
+        steps.append(
+            f"""raw{k} AS (
+  SELECT n.id, coalesce(s.msum, 0) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank * e.weight) AS msum
+    FROM ev{k - 1} p JOIN edges e ON e.src = p.id
+    GROUP BY e.dst
+  ) s USING (id)
+),
+ev{k} AS (
+  SELECT id, rank / (SELECT sqrt(sum(rank * rank)) FROM raw{k}) AS rank
+  FROM raw{k}
+)"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_sql_directed(V_BIG)},
+ev0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes),
+{steps_sql}
+SELECT id, round(rank, 8) AS score FROM ev5
+"""
+
+
 # --------------------------------------------------- dedup / similarity ops
 _MH_HASHES = 16
 _MH_BANDS = 4
@@ -863,6 +1052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_edge_score": q_triangle_edge_score,
         "largest_component": q_largest_component,
         "modularity": q_modularity,
+        "kcore": q_kcore,
+        "bfs_hops": q_bfs_hops,
+        "coarsen": q_coarsen,
+        "triangle_filter": q_triangle_filter,
+        "link_prediction": q_link_prediction,
+        "eigenvector": q_eigenvector,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -891,6 +1086,12 @@ def oracle_sql() -> dict[str, str]:
         "triangle_edge_score": q_triangle_edge_score_sql(),
         "largest_component": q_largest_component_sql(),
         "modularity": q_modularity_sql(),
+        # kcore: no SQL oracle (aggregating fixpoint) — rows-only
+        "bfs_hops": q_bfs_hops_sql(),
+        "coarsen": q_coarsen_sql(),
+        "triangle_filter": q_triangle_filter_sql(),
+        "link_prediction": q_link_prediction_sql(),
+        "eigenvector": q_eigenvector_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),

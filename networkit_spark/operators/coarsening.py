@@ -1,0 +1,75 @@
+"""Graph coarsening — contract a graph by a partition.
+
+Reference: ``ParallelPartitionCoarsening``
+(``cpp/coarsening/ParallelPartitionCoarsening.cpp:23-137``): each cluster
+becomes a super-node; edge (u,v,w) becomes (super(u), super(v), Σw);
+intra-cluster edges become self-loops on the super-node. Super-node ids
+are the compacted (dense 0-based) cluster labels
+(``Partition::compact`` precedent, ``cpp/structures/Partition.cpp:69-98``),
+and ``getFineToCoarseNodeMapping`` exposes the node → super-node map.
+
+Spark plan (SURVEY §2.4 row 4): two equi-joins of the edge table against
+the labels table + one hash aggregation — the exact shape Catalyst
+already optimizes (partial aggregation absorbs hub clusters). This is
+also the accelerator step the reference's parallel CC uses after 8
+rounds (``ParallelConnectedComponents.cpp:81-94``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.base import Algorithm
+
+
+class ParallelPartitionCoarsening(Algorithm):
+    def __init__(self, graph: Graph, labels: DataFrame) -> None:
+        super().__init__(graph)
+        self.labels = labels.select("id", "label")
+        self._coarse: Graph | None = None
+        self._mapping: DataFrame | None = None
+
+    def _run(self) -> None:
+        g = self.graph
+        # compact labels to dense 0-based super-node ids
+        w = Window.orderBy("label")
+        compact = self.labels.select("label").distinct().select(
+            "label", (F.row_number().over(w) - 1).alias("super")
+        )
+        mapping = self.labels.join(F.broadcast(compact), "label").select("id", "super")
+        l_src = mapping.select(F.col("id").alias("src"), F.col("super").alias("s_src"))
+        l_dst = mapping.select(F.col("id").alias("dst"), F.col("super").alias("s_dst"))
+        base = g.edges if g.directed else g.canonical()
+        contracted = (
+            base.join(l_src, "src")
+            .join(l_dst, "dst")
+            .select(
+                F.least("s_src", "s_dst").alias("src")
+                if not g.directed
+                else F.col("s_src").alias("src"),
+                F.greatest("s_src", "s_dst").alias("dst")
+                if not g.directed
+                else F.col("s_dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        self._coarse = Graph(
+            contracted,
+            directed=g.directed,
+            weighted=True,
+            vertices=mapping.select(F.col("super").alias("id")).distinct(),
+        )
+        self._mapping = mapping
+
+    def get_coarse_graph(self) -> Graph:
+        self.assure_finished()
+        return self._coarse
+
+    def get_fine_to_coarse_node_mapping(self) -> DataFrame:
+        """``(id, super)`` node → super-node
+        (``ParallelPartitionCoarsening::getFineToCoarseNodeMapping``)."""
+        self.assure_finished()
+        return self._mapping

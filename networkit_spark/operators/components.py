@@ -1,4 +1,4 @@
-"""Connected components — hash-min label propagation with path shortcuts.
+"""Connected components — hash-min label propagation.
 
 Reference semantics:
 
@@ -19,13 +19,14 @@ Spark plan per round (the canonical distributed hash-min):
 
     sym_edges ⋈ labels on src → groupBy(dst).min(label) → least(old, new)
 
-plus a **pointer-doubling shortcut** ``label[u] ← label[label[u]]`` each
-round (a join of labels with itself), which collapses label chains and
-brings round count from O(diameter) to O(log n) — the same effect as the
-reference's coarsening recursion and the large-star/small-star rounds of
-Kiveris et al. (PAPERS.md). Convergence = zero labels changed (one scalar
-agg per round). Rounds are lineage-cut / durably checkpointed like
-PageRank.
+with per-vertex self-loop rows injected into the symmetric edge table so
+the round plan touches the label state exactly once (single-reference
+rule, ``plans/iterate.py``). Round count is O(diameter) — fine for web
+graphs (effective diameter ~6-20); for pathological chains, contract by
+current labels with ``ParallelPartitionCoarsening`` and recurse (the
+reference's own accelerator, ``ParallelConnectedComponents.cpp:81-94``).
+Convergence = zero labels changed (one scalar agg per round). Rounds are
+lineage-cut / durably checkpointed like PageRank.
 
 ``WeaklyConnectedComponents`` (``WeaklyConnectedComponents.cpp``, neighbors
 = out ∪ in per ``ConnectedComponentsImpl.cpp:58-59``) is the same kernel
@@ -51,7 +52,7 @@ class ConnectedComponents(Algorithm):
         self,
         graph: Graph,
         store: CheckpointStore | None = None,
-        shortcut: bool = True,
+        shortcut: bool = False,  # accepted for API stability; see _run note
         max_iterations: int = 200,
     ) -> None:
         if graph.directed and type(self) is ConnectedComponents:
@@ -70,6 +71,12 @@ class ConnectedComponents(Algorithm):
         g = self.graph
         spark = g.edges.sparkSession
         sym = g.symmetrized().select("src", "dst").where(F.col("src") != F.col("dst"))
+        # self-loop per vertex: the "min over neighbors AND self" gather
+        # becomes ONE join against labels (single-reference rule,
+        # plans/iterate.py) instead of gather + least(old, new)
+        sym = sym.unionAll(
+            g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sym = sym.repartition(shuffle_parts, "src").persist()
 
@@ -89,35 +96,21 @@ class ConnectedComponents(Algorithm):
         while it - start_iter < self.max_iterations:
             t0 = time.time()
             it += 1
-            # neighbor-min gather: min label over in-neighbors of dst
-            nbr_min = (
+            # min label over {self} ∪ N(u): the self-loop rows inject each
+            # node's own label, so `labels` is referenced exactly once in
+            # the round plan (single-reference rule). Monotone: labels
+            # only decrease, so this equals least(own, neighbor-min).
+            cand = (
                 sym.join(labels, sym.src == labels.id)
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("label").alias("nbr_label"))
+                .agg(F.min("label").alias("label"))
             )
-            cand = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            if self.shortcut:
-                # pointer doubling: label[u] ← label[label[u]]
-                parent = cand.select(
-                    F.col("id").alias("pid"), F.col("label").alias("plabel")
-                )
-                cand = (
-                    cand.join(parent, cand.label == parent.pid, "left")
-                    .select(
-                        "id",
-                        F.least(
-                            F.col("label"), F.coalesce("plabel", F.col("label"))
-                        ).alias("label"),
-                    )
-                )
+            # NOTE: no pointer-doubling shortcut — label[label[u]] is a
+            # self-join of the in-flight state (two references), which
+            # violates the single-reference rule and measured exponential.
+            # Round count is O(diameter); web link graphs have effective
+            # diameter ~6-20, and the coarsening operator (coarsening.py)
+            # is the scale accelerator if a pathological chain appears.
             cand = mat.cut(it, cand, None) if self.store is None else cand
             changed = (
                 cand.alias("new")

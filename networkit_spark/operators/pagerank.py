@@ -35,6 +35,7 @@ durably checkpointed with per-partition lineage + metrics for resume
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -113,6 +114,8 @@ class PageRank(Centrality):
             resumed = self.store.latest(spark)
             if resumed is not None:
                 start_iter, ranks = resumed
+                if "old_rank" in ranks.columns:
+                    ranks = ranks.select("id", "rank")
         if ranks is None:
             ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
             ranks = mat.cut(0, ranks, {"phase": "init", "n": n})
@@ -127,6 +130,12 @@ class PageRank(Centrality):
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("frac")).alias("msum"))
             )
+            # SINGLE-REFERENCE RULE (engine invariant, plans/iterate.py):
+            # the round's checkpointed plan references `ranks` exactly once
+            # (inside `incoming`). The convergence delta joins old vs new
+            # as a SEPARATE query over two materialized checkpoints —
+            # folding it into the round plan would reference `ranks` twice,
+            # which defeats checkpoint reuse and goes exponential.
             new_ranks = (
                 vertices.join(incoming, vertices.id == incoming.dst, "left")
                 .select(
@@ -137,20 +146,24 @@ class PageRank(Centrality):
                     ).alias("rank"),
                 )
             )
-            # materialize before the delta agg so the round runs once
-            new_ranks = mat.cut(it, new_ranks, None) if self.store is None else new_ranks
-
+            new_ranks = mat.cut(
+                it,
+                new_ranks,
+                {"algo": "pagerank", "norm": self.norm} if self.store else None,
+            )
             diff = new_ranks.alias("new").join(ranks.alias("old"), "id")
             if self.norm == "l1":
                 delta_expr = F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
             else:
-                delta_expr = F.sqrt(F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2)))
+                delta_expr = F.sqrt(
+                    F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2))
+                )
             delta = diff.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
-
+            if os.environ.get("NKS_DEBUG_ITER"):
+                print(f"iter {it}: {time.time() - t0:.2f}s delta={delta:.2e}", flush=True)
             if self.store is not None:
-                new_ranks = mat.cut(
+                self.store.append_metrics(
                     it,
-                    new_ranks,
                     {
                         "algo": "pagerank",
                         "delta": delta,

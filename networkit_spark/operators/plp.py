@@ -93,6 +93,12 @@ class PLP(Algorithm):
                 .where(F.col("rn") == 1)
                 .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
             )
+            # materialize the winner table BEFORE merging it with the old
+            # labels: the merge below references `labels` again, and the
+            # round plan may reference the in-flight state only once
+            # (single-reference rule, plans/iterate.py). Always an
+            # in-memory checkpoint — it's intra-round, not a resume point.
+            heaviest = heaviest.localCheckpoint(eager=True)
             # isolated nodes keep their label (PLP.cpp:48-59)
             cand = labels.join(heaviest, "id", "left").select(
                 "id", F.coalesce("new_label", F.col("label")).alias("label")

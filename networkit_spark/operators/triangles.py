@@ -69,14 +69,20 @@ def _oriented_edges(graph: Graph):
     return canon, oriented, deg
 
 
-def triangle_rows(graph: Graph) -> DataFrame:
-    """One row ``(a, b, c)`` per triangle, apex ``a`` = min (deg,id)."""
+def triangle_rows(graph: Graph, oriented: DataFrame | None = None) -> DataFrame:
+    """One row ``(a, b, c)`` per triangle, apex ``a`` = min (deg,id).
+
+    Callers that already hold the oriented edge table pass it in
+    (persisted!) — the wedge self-join plus the closing semi-join read it
+    three times, so recomputing it per branch triples the scan cost.
+    """
     if graph.directed:
         raise ValueError(
             "triangle counting requires an undirected graph "
             "(LocalClusteringCoefficient.cpp:6-9)"
         )
-    _, oriented, _ = _oriented_edges(graph)
+    if oriented is None:
+        _, oriented, _ = _oriented_edges(graph)
     e1 = oriented.select(
         F.col("a"), F.col("b").alias("v1"), F.col("d_b").alias("d_v1")
     )
@@ -118,12 +124,14 @@ class LocalClusteringCoefficient(Centrality):
                 "LCC requires no self-loops; call remove_self_loops() first "
                 "(LocalClusteringCoefficient.cpp:8)"
             )
-        tris = triangle_rows(g)
+        _, oriented, deg = _oriented_edges(g)
+        oriented = oriented.persist()
+        deg = deg.persist()
+        tris = triangle_rows(g, oriented)
         corners = tris.select(
             F.explode(F.array("a", "b", "c")).alias("id")
         )
         counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-        _, _, deg = _oriented_edges(g)
         per_node = (
             g.vertices.join(counts, "id", "left")
             .join(deg, "id", "left")
@@ -165,7 +173,8 @@ class TriangleEdgeScore(Algorithm):
 
     def _run(self) -> None:
         g = self.graph
-        tris = triangle_rows(g)
+        _, oriented, _ = _oriented_edges(g)
+        tris = triangle_rows(g, oriented.persist())
         pairs = tris.select(
             F.explode(
                 F.array(

@@ -18,6 +18,26 @@ things the reference never did:
 cluster the same layout maps 1:1 onto an Iceberg table partitioned by
 ``(run_id, iter)`` with the metrics JSONL as a metrics table — the store
 isolates that choice behind ``save``/``latest``.
+
+**SINGLE-REFERENCE RULE (measured, load-bearing):** the plan that a
+round materializes must reference the previous round's checkpointed
+frame **exactly once**. Referencing it twice (e.g. joining the old state
+back in for a fused convergence delta, or a pointer-doubling self-join)
+silently defeats checkpoint-block reuse — each round's job then
+recomputes the full history and per-round wall time doubles (~×2.3/round
+from ~round 15, measured on Spark 4.1 with and without AQE, with eager
+and lazy localCheckpoint). Patterns that satisfy the rule:
+
+- extra lookups of the old state run as SEPARATE queries on the already-
+  materialized frames (PageRank's delta join, CC's changed count);
+- "self + neighbors" aggregations add explicit self-loop rows to the
+  static edge side instead of re-joining the state (CC hash-min, ANF);
+- multi-stage rounds materialize each stage before the next references
+  it (PLP's histogram winner);
+- a FRESH frame derived this round and then cut/materialized may be
+  referenced any number of times afterwards (measured flat over 30
+  rounds — k-core's peel set); the hazard is specific to the
+  round-over-round chained state frame.
 """
 
 from __future__ import annotations
@@ -99,6 +119,15 @@ class CheckpointStore:
             f.write("1")
         return fresh
 
+    def append_metrics(self, it: int, metrics: dict) -> None:
+        """Append a metrics record for an already-saved iteration (used
+        when a metric — e.g. the convergence delta — is computed from the
+        materialized snapshot after the save)."""
+        rec = {"run_id": self.run_id, "iter": it}
+        rec.update(metrics)
+        with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def completed_iters(self) -> list[int]:
         if not os.path.isdir(self.run_dir):
             return []
@@ -142,4 +171,10 @@ class Materializer:
     def cut(self, it: int, df: DataFrame, metrics: dict | None = None) -> DataFrame:
         if self.store is not None:
             return self.store.save(it, df, metrics)
+        # Eager checkpoint: materializes now and truncates lineage NOW.
+        # (eager=False defers truncation until some later action, and a
+        # derived plan that runs first re-plans the full parent lineage —
+        # measured to go exponential past ~15 rounds. Do not "optimize"
+        # this to lazy.) Blocks are MEMORY_AND_DISK: accumulated rounds
+        # spill rather than evict.
         return df.localCheckpoint(eager=True)

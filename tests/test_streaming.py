@@ -1,0 +1,137 @@
+"""Dynamics / streaming tests — batch GraphUpdater semantics and the
+Structured Streaming event path (file source → memory sink)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark import Graph
+from networkit_spark.streaming import (
+    EVENT_SCHEMA,
+    GraphUpdater,
+    apply_events,
+    read_event_stream,
+    streaming_degree_counts,
+    streaming_edge_rate,
+)
+
+
+@pytest.fixture()
+def g(spark):
+    return Graph.from_edge_list(
+        spark, [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)], directed=True, weighted=True
+    )
+
+
+def _events(spark, rows):
+    from datetime import datetime
+
+    conv = [
+        (datetime.fromisoformat(ts), *rest) for ts, *rest in rows
+    ]
+    return spark.createDataFrame(conv, EVENT_SCHEMA)
+
+
+def test_apply_edge_addition_and_removal(spark, g):
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", "EDGE_ADDITION", 3, 4, 5.0),
+            ("2024-01-01 00:00:01", "EDGE_REMOVAL", 0, 1, None),
+        ],
+    )
+    g2 = apply_events(g, ev)
+    edges = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert (0, 1) not in edges
+    assert edges[(3, 4)] == 5.0
+    assert edges[(1, 2)] == 2.0
+    # original snapshot untouched (snapshot semantics)
+    assert g.number_of_edges() == 3
+
+
+def test_apply_weight_update_and_increment(spark, g):
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", "EDGE_WEIGHT_UPDATE", 1, 2, 10.0),
+            ("2024-01-01 00:00:01", "EDGE_WEIGHT_INCREMENT", 2, 3, 0.5),
+            ("2024-01-01 00:00:02", "EDGE_WEIGHT_INCREMENT", 2, 3, 0.25),
+        ],
+    )
+    edges = {(r["src"], r["dst"]): r["weight"]
+             for r in apply_events(g, ev).edges.collect()}
+    assert edges[(1, 2)] == 10.0
+    assert edges[(2, 3)] == 1.75
+
+
+def test_apply_node_removal(spark, g):
+    ev = _events(spark, [("2024-01-01 00:00:00", "NODE_REMOVAL", 2, None, None)])
+    g2 = apply_events(g, ev)
+    edges = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert edges == {(0, 1)}  # both edges touching node 2 dropped
+
+
+def test_graph_updater_batches(spark, g):
+    upd = GraphUpdater(g)
+    upd.update(_events(spark, [("2024-01-01 00:00:00", "EDGE_ADDITION", 9, 8, 1.0)]))
+    upd.update(_events(spark, [("2024-01-01 00:00:01", "EDGE_ADDITION", 8, 7, 1.0)]))
+    assert upd.batches_applied == 2
+    assert upd.graph.number_of_edges() == 5
+
+
+def test_streaming_event_pipeline(spark, tmp_path):
+    src_dir = str(tmp_path / "events")
+    os.makedirs(src_dir)
+    rows = [
+        {"ts": "2024-01-01T00:00:00.000Z", "etype": "EDGE_ADDITION", "u": 0, "v": 1, "w": 1.0},
+        {"ts": "2024-01-01T00:00:01.000Z", "etype": "EDGE_ADDITION", "u": 0, "v": 2, "w": 1.0},
+        {"ts": "2024-01-01T00:00:02.000Z", "etype": "EDGE_ADDITION", "u": 1, "v": 2, "w": 1.0},
+        {"ts": "2024-01-01T00:00:03.000Z", "etype": "EDGE_REMOVAL", "u": 0, "v": 1, "w": None},
+    ]
+    with open(os.path.join(src_dir, "batch0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = read_event_stream(spark, src_dir)
+    assert stream.isStreaming
+
+    # windowed edge rate → complete-mode memory sink, one-shot trigger
+    rate_q = (
+        streaming_edge_rate(stream, window="10 seconds")
+        .writeStream.format("memory")
+        .queryName("edge_rate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    rate_q.awaitTermination(120)
+    # append mode only emits closed windows; re-read rows from the sink's
+    # state via a degree query instead for assertions:
+    deg_q = (
+        streaming_degree_counts(stream)
+        .writeStream.format("memory")
+        .queryName("deg_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deg_q.awaitTermination(120)
+    deg = {r["id"]: r["out_deg"] for r in spark.sql("SELECT * FROM deg_counts").collect()}
+    assert deg == {0: 2, 1: 1}
+
+    # foreachBatch → GraphUpdater keeps a live snapshot
+    empty = Graph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        directed=True,
+    )
+    upd = GraphUpdater(empty)
+    fb_q = (
+        stream.writeStream.foreachBatch(upd)
+        .trigger(availableNow=True)
+        .start()
+    )
+    fb_q.awaitTermination(120)
+    edges = {(r["src"], r["dst"]) for r in upd.graph.edges.collect()}
+    assert edges == {(0, 2), (1, 2)}
