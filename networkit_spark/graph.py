@@ -211,6 +211,42 @@ class Graph:
         return Graph(sub, directed=self.directed, weighted=self.weighted,
                      vertices=ids)
 
+    def append(self, other: "Graph") -> "Graph":
+        """Disjoint union (``GraphTools::append``, ``GraphTools.hpp:241``):
+        ``other``'s node ids are shifted past this graph's max id."""
+        offset = (
+            self.vertices.agg(F.max("id")).collect()[0][0] or -1
+        ) + 1
+        shifted = other.edges.select(
+            (F.col("src") + offset).alias("src"),
+            (F.col("dst") + offset).alias("dst"),
+            "weight",
+        )
+        verts = self.vertices.unionAll(
+            other.vertices.select((F.col("id") + offset).alias("id"))
+        )
+        return Graph(
+            self.edges.unionAll(shifted),
+            directed=self.directed,
+            weighted=self.weighted or other.weighted,
+            vertices=verts,
+        )
+
+    def merge(self, other: "Graph") -> "Graph":
+        """Edge union on the shared id space (``GraphTools::merge``,
+        ``GraphTools.hpp:250``): edges already present are not added
+        again (dedup on (src, dst))."""
+        mine = self.edges if self.directed else self.canonical()
+        theirs = other.edges if other.directed else other.canonical()
+        new_edges = theirs.join(mine.select("src", "dst"), ["src", "dst"], "left_anti")
+        verts = self.vertices.unionAll(other.vertices).distinct()
+        return Graph(
+            mine.unionAll(new_edges),
+            directed=self.directed,
+            weighted=self.weighted or other.weighted,
+            vertices=verts,
+        )
+
     # ------------------------------------------------------------ aggregates
     def degrees(self) -> DataFrame:
         """``degrees(id, out_deg, in_deg, w_out_deg, w_in_deg)`` per node.

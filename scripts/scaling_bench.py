@@ -22,24 +22,44 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: disjoint shifted copies of the sf link graph — scales the per-round
+#: compute so parallelism, not fixed scheduling overhead, dominates (the
+#: protocol's "where the input is large enough" clause). Deterministic,
+#: derived only from the driver-provided parquet.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "16"))
+ITERS = 8
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from networkit_spark.session import get_spark
-from networkit_spark import PageRank
-from __spark_entry__ import directed_graph
+from networkit_spark import Graph, PageRank
+from __spark_entry__ import directed_graph, V_BIG
 
 cpus = {cpus}
 sf_dir = {sf_dir!r}
+replicas = {replicas}
+iters = {iters}
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-g = directed_graph(spark, sf_dir)
+base = directed_graph(spark, sf_dir).edges
+copies = [
+    base.select((F.col("src") + k * V_BIG).alias("src"),
+                (F.col("dst") + k * V_BIG).alias("dst"),
+                "weight")
+    for k in range(replicas)
+]
+edges = copies[0]
+for c in copies[1:]:
+    edges = edges.unionAll(c)
+g = Graph(edges.repartition(cpus, "src").persist(), directed=True, weighted=True)
 m = g.number_of_edges()
-# warm the input cache out of the measurement: one throwaway iteration
+# warm caches (edge persist, degree computation) outside the measurement
 PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=1).run()
 t0 = time.time()
-pr = PageRank(g, damp=0.85, tol=1e-6, norm="l1").run()
+pr = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
 pr.scores().write.format("noop").mode("overwrite").save()
 wall = time.time() - t0
 print(json.dumps({{
@@ -52,7 +72,9 @@ spark.stop()
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir)
+    code = CHILD.format(
+        repo=REPO, cpus=cpus, sf_dir=sf_dir, replicas=REPLICAS, iters=ITERS
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -85,10 +107,11 @@ def main() -> None:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
 
-Same job (PageRank, damping 0.85, L1 tol 1e-6), same input
-(`{sf_dir}` link graph, {low['edges']} weighted edges), two local
-parallelism levels, fresh JVM per level, input warmed by one throwaway
-iteration before timing.
+Same job (PageRank power iteration, damping 0.85, {ITERS} fixed
+rounds), same input (`{sf_dir}` link graph × {REPLICAS} disjoint
+shifted copies = {low['edges']:,} weighted edges), two local parallelism
+levels, fresh JVM per level, caches warmed by one throwaway iteration
+before timing.
 
 | parallelism | iterations | wall s | edges/s per iteration |
 |---|---|---|---|

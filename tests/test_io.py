@@ -1,0 +1,110 @@
+"""Graph file IO + GraphTools append/merge tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from networkit_spark import Graph
+from networkit_spark.sources.io import (
+    read_edge_list,
+    read_metis,
+    read_partition,
+    read_snap,
+    write_edge_list,
+    write_partition,
+)
+
+
+def _write(tmp_path, name, text):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def test_read_edge_list_continuous(spark, tmp_path):
+    p = _write(tmp_path, "g.txt", "# comment\n0 1\n1 2\n2 0\n")
+    g = read_edge_list(spark, p, directed=True)
+    assert not g.weighted
+    assert g.number_of_edges() == 3
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 2), (2, 0)}
+
+
+def test_read_edge_list_weighted_autodetect(spark, tmp_path):
+    p = _write(tmp_path, "gw.txt", "0 1 2.5\n1 2 0.5\n")
+    g = read_edge_list(spark, p, directed=True)
+    assert g.weighted
+    w = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert w == {(0, 1): 2.5, (1, 2): 0.5}
+
+
+def test_read_edge_list_first_node(spark, tmp_path):
+    p = _write(tmp_path, "g1.txt", "1 2\n2 3\n")
+    g = read_edge_list(spark, p, first_node=1, directed=True)
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_read_edge_list_dictionary(spark, tmp_path):
+    # continuous=False: string tokens, dict-encoded (EdgeListReader.cpp:60-78)
+    p = _write(tmp_path, "gs.txt", "alice bob\nbob carol\ncarol alice\n")
+    g, node_map = read_edge_list(spark, p, continuous=False, directed=False)
+    m = {r["token"]: r["id"] for r in node_map.collect()}
+    assert sorted(m) == ["alice", "bob", "carol"]
+    assert sorted(m.values()) == [0, 1, 2]  # dense lexicographic
+    assert m["alice"] == 0
+    assert g.number_of_nodes() == 3 and g.number_of_edges() == 3
+
+
+def test_read_snap(spark, tmp_path):
+    p = _write(tmp_path, "snap.txt", "# FromNodeId\tToNodeId\n0\t1\n1\t2\n")
+    g = read_snap(spark, p, directed=True)
+    assert g.number_of_edges() == 2
+
+
+def test_read_metis(spark, tmp_path):
+    # triangle as METIS: 3 nodes 3 edges, 1-based neighbor lists
+    p = _write(tmp_path, "g.metis", "3 3\n2 3\n1 3\n1 2\n")
+    g = read_metis(spark, p)
+    assert g.number_of_nodes() == 3
+    assert g.number_of_edges() == 3  # canonical u<=v kept once
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_write_read_edge_list_roundtrip(spark, tmp_path):
+    g = Graph.from_edge_list(
+        spark, [(0, 1, 2.0), (1, 2, 3.0)], directed=True, weighted=True
+    )
+    out = str(tmp_path / "out")
+    write_edge_list(g, out)
+    g2 = read_edge_list(spark, out + "/*.txt", directed=True)
+    assert {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()} == {
+        (0, 1, 2.0),
+        (1, 2, 3.0),
+    }
+
+
+def test_partition_roundtrip(spark, tmp_path):
+    labels = spark.createDataFrame([(0, 5), (1, 5), (2, 7)], "id long, label long")
+    p = str(tmp_path / "part")
+    write_partition(labels, p)
+    back = read_partition(spark, p)
+    assert {(r["id"], r["label"]) for r in back.collect()} == {(0, 5), (1, 5), (2, 7)}
+
+
+def test_graph_append(spark):
+    a = Graph.from_edge_list(spark, [(0, 1)], num_nodes=2)
+    b = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=3)
+    c = a.append(b)
+    assert c.number_of_nodes() == 5
+    assert {(r["src"], r["dst"]) for r in c.edges.collect()} == {(0, 1), (2, 3), (3, 4)}
+
+
+def test_graph_merge(spark):
+    a = Graph.from_edge_list(spark, [(0, 1), (1, 2)])
+    b = Graph.from_edge_list(spark, [(1, 2), (2, 3)])
+    c = a.merge(b)
+    assert {(r["src"], r["dst"]) for r in c.edges.collect()} == {
+        (0, 1),
+        (1, 2),
+        (2, 3),
+    }
