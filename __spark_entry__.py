@@ -672,6 +672,28 @@ LEFT JOIN degs dv ON dv.id = p.v
 """
 
 
+def q_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLM (parallel Louvain) — no SQL oracle (multi-level fixpoint);
+    invariant-level tests in tests/test_plm.py; the driver records a
+    rows-only check."""
+    from networkit_spark.operators.plm import PLM
+
+    g = undirected_graph(spark, sf_dir)
+    plm = PLM(g, max_sweeps=4, max_levels=3).run()
+    return plm.get_partition().select("id", "label")
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF effective diameter (hash-seeded sketches — no SQL oracle)."""
+    from networkit_spark.operators.distance import EffectiveDiameterApproximation
+
+    g = undirected_graph(spark, sf_dir)
+    eff = EffectiveDiameterApproximation(g, ratio=0.9, k=8, max_hops=16).run()
+    return spark.createDataFrame(
+        [(eff.get_effective_diameter(),)], "effective_diameter double"
+    )
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality, 5 power-iteration rounds (fixed count so
     the unrolled SQL oracle is exact)."""
@@ -1053,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "largest_component": q_largest_component,
         "modularity": q_modularity,
         "kcore": q_kcore,
+        "plm": q_plm,
+        "effective_diameter": q_effective_diameter,
         "bfs_hops": q_bfs_hops,
         "coarsen": q_coarsen,
         "triangle_filter": q_triangle_filter,

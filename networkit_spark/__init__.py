@@ -34,8 +34,20 @@ from networkit_spark.operators.pagerank import (
     EigenvectorCentrality,
     KatzCentrality,
 )
+from networkit_spark.operators.kcore import CoreDecomposition
+from networkit_spark.operators.distance import (
+    BFS,
+    EffectiveDiameterApproximation,
+)
+from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
+from networkit_spark.operators.plm import PLM
 
 __all__ = [
+    "BFS",
+    "CoreDecomposition",
+    "EffectiveDiameterApproximation",
+    "ParallelPartitionCoarsening",
+    "PLM",
     "Graph",
     "get_spark",
     "DegreeCentrality",

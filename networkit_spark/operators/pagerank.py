@@ -44,8 +44,12 @@ from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Centrality
 from networkit_spark.plans.iterate import CheckpointStore, Materializer
 
-#: broadcast the ranks table when the vertex count is below this
-BROADCAST_VERTEX_LIMIT = 5_000_000
+#: broadcast the ranks table when the vertex count is below this.
+#: Above it, the rank join runs as a shuffle join in which only the
+#: (small) ranks side moves — `contrib` is persisted hash-partitioned on
+#: the join key — so the per-round cost parallelizes instead of paying a
+#: serial driver collect+rebroadcast of the whole vertex state.
+BROADCAST_VERTEX_LIMIT = 100_000
 
 
 class PageRank(Centrality):
@@ -151,14 +155,19 @@ class PageRank(Centrality):
                 new_ranks,
                 {"algo": "pagerank", "norm": self.norm} if self.store else None,
             )
-            diff = new_ranks.alias("new").join(ranks.alias("old"), "id")
-            if self.norm == "l1":
-                delta_expr = F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
+            if self.tol > 0.0 or self.max_iterations is None:
+                diff = new_ranks.alias("new").join(ranks.alias("old"), "id")
+                if self.norm == "l1":
+                    delta_expr = F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
+                else:
+                    delta_expr = F.sqrt(
+                        F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2))
+                    )
+                delta = diff.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
             else:
-                delta_expr = F.sqrt(
-                    F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2))
-                )
-            delta = diff.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
+                # tol=0 with a fixed iteration budget: the tolerance test
+                # can never fire, so skip the delta job — one job per round
+                delta = float("inf")
             if os.environ.get("NKS_DEBUG_ITER"):
                 print(f"iter {it}: {time.time() - t0:.2f}s delta={delta:.2e}", flush=True)
             if self.store is not None:

@@ -1,0 +1,220 @@
+"""PLM — parallel Louvain method, multi-level modularity optimization.
+
+Reference: ``community.PLM(G, refine, gamma, par, maxIter, turbo,
+recurse)`` (``cpp/community/PLM.cpp``, 325 LoC; wrapper
+``networkit/community.pyx:350-391``): repeat {local move phase until no
+node improves modularity; contract by the resulting partition
+(``ParallelPartitionCoarsening.cpp:23-137``); recurse on the coarse
+graph} and prolong the coarse partition back to the fine graph.
+
+Spark re-expression — synchronous move sweeps (the reference's move
+phase is asynchronous/OpenMP-racy like PLP; equivalence is asserted at
+the invariant level: proper clustering, modularity quality, planted-
+partition recovery — SURVEY §5):
+
+Each sweep is four materialized stages, each referencing each input
+frame once (single-reference rule, ``plans/iterate.py``):
+
+    state   = labels ⋈ wdeg                      (id, comm, wdeg)
+    volumes = state → groupBy(comm).sum(wdeg)    (comm, vol)
+    links   = sym ⋈ state[src] → groupBy(dst, comm).sum(w)
+    best    = links ⋈ volumes ⋈ state[dst] → ΔQ window argmax
+
+Modularity gain of moving u (degree k_u) from community D to C
+(``PLM.cpp`` ``modGain``):
+
+    ΔQ = (w(u→C) − w(u→D∖u)) / W − γ·k_u·(vol(C) − vol(D∖u)) / (2W²)
+
+A node moves only on strictly positive gain; ties break toward the
+smaller community id (deterministic). Synchronous sweeps can oscillate
+between symmetric states; the strict-gain rule plus the id tie-break
+makes oscillation measure-zero in practice, and the sweep cap bounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.base import Algorithm
+from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
+from networkit_spark.plans.iterate import Materializer
+
+
+class PLM(Algorithm):
+    def __init__(
+        self,
+        graph: Graph,
+        gamma: float = 1.0,
+        max_sweeps: int = 8,
+        max_levels: int = 10,
+        min_moves_frac: float = 0.001,
+    ) -> None:
+        if graph.directed:
+            raise ValueError("PLM requires an undirected graph (PLM.cpp ctor)")
+        super().__init__(graph)
+        self.gamma = gamma
+        self.max_sweeps = max_sweeps
+        self.max_levels = max_levels
+        self.min_moves_frac = min_moves_frac
+        self._labels: DataFrame | None = None
+        self._timing: dict[str, list[float]] = {"move": [], "coarsen": []}
+
+    # ----------------------------------------------------------- move phase
+    def _move_phase(self, g: Graph, mat: Materializer) -> DataFrame:
+        """Synchronous local-move sweeps on one level; returns labels."""
+        import time
+
+        sym = (
+            g.symmetrized()
+            .select("src", "dst", "weight")
+            .where(F.col("src") != F.col("dst"))
+            .persist()
+        )
+        # volume convention (Louvain / Modularity.cpp): a self-loop adds
+        # 2w to its node's volume but w to the total weight W — on coarse
+        # levels the contracted intra-community weight lives in self-loops,
+        # so this is load-bearing for correct gains after level 1
+        sym_deg = g.symmetrized().groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("wd_sym")
+        )
+        self_w = (
+            g.edges.where(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("weight").alias("wd_self"))
+        )
+        wdeg = (
+            g.vertices.join(sym_deg, "id", "left")
+            .join(self_w, "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce("wd_sym", F.lit(0.0))
+                    + F.coalesce("wd_self", F.lit(0.0))
+                ).alias("wdeg"),
+            )
+            .persist()
+        )
+        total_w = g.canonical().agg(F.sum("weight")).collect()[0][0] or 0.0
+        n = g.number_of_nodes()
+        if total_w == 0:
+            sym.unpersist()
+            return g.vertices.select("id", F.col("id").alias("comm"))
+        inv_w = 1.0 / total_w
+        inv_2w2 = 1.0 / (2.0 * total_w * total_w)
+
+        labels = mat.cut(0, g.vertices.select("id", F.col("id").alias("comm")))
+        for sweep in range(1, self.max_sweeps + 1):
+            t0 = time.time()
+            # stage 1: state = labels + weighted degree   [labels ×1]
+            state = mat.cut(sweep, labels.join(wdeg, "id"))
+            # stage 2: community volumes                  [state ×1]
+            vols = mat.cut(
+                sweep, state.groupBy("comm").agg(F.sum("wdeg").alias("vol"))
+            )
+            # stage 3: per-node weight into each neighbor community
+            s_src = state.select(
+                F.col("id").alias("src"), F.col("comm").alias("nbr_comm")
+            )
+            links = mat.cut(
+                sweep,
+                sym.join(s_src, "src")
+                .groupBy(F.col("dst").alias("id"), "nbr_comm")
+                .agg(F.sum("weight").alias("w_to")),
+            )
+            # stage 4: ΔQ per candidate community, argmax per node
+            own = state.select(
+                "id", F.col("comm").alias("own_comm"), "wdeg"
+            )
+            v_cand = vols.select(F.col("comm").alias("nbr_comm"), F.col("vol").alias("vol_cand"))
+            v_own = vols.select(F.col("comm").alias("own_comm"), F.col("vol").alias("vol_own"))
+            cand = (
+                links.join(own, "id")
+                .join(v_cand, "nbr_comm")
+                .join(v_own, "own_comm")
+            )
+            # w(u→D∖u): weight to own community (0 if none of the
+            # neighbors share it); vol(D∖u) = vol_own − wdeg(u)
+            w_to_own = F.max(
+                F.when(F.col("nbr_comm") == F.col("own_comm"), F.col("w_to"))
+            ).over(Window.partitionBy("id"))
+            scored = cand.select(
+                "id",
+                "nbr_comm",
+                "own_comm",
+                (
+                    (F.col("w_to") - F.coalesce(w_to_own, F.lit(0.0))) * inv_w
+                    - F.lit(self.gamma)
+                    * F.col("wdeg")
+                    * (F.col("vol_cand") - (F.col("vol_own") - F.col("wdeg")))
+                    * inv_2w2
+                ).alias("gain"),
+            ).where(F.col("nbr_comm") != F.col("own_comm"))
+            w_best = Window.partitionBy("id").orderBy(
+                F.desc("gain"), F.asc("nbr_comm")
+            )
+            moves = (
+                scored.withColumn("rn", F.row_number().over(w_best))
+                .where((F.col("rn") == 1) & (F.col("gain") > 0))
+                .select("id", F.col("nbr_comm").alias("new_comm"))
+            )
+            moves = moves.localCheckpoint(eager=True)
+            n_moves = moves.count()
+            new_labels = mat.cut(
+                sweep,
+                labels.join(moves, "id", "left").select(
+                    "id", F.coalesce("new_comm", F.col("comm")).alias("comm")
+                ),
+            )
+            labels = new_labels
+            self._timing["move"].append(round(time.time() - t0, 4))
+            if n_moves <= max(int(n * self.min_moves_frac), 0):
+                break
+        sym.unpersist()
+        wdeg.unpersist()
+        return labels
+
+    # ----------------------------------------------------------------- run
+    def _run(self) -> None:
+        mat = Materializer()
+        g = self.graph
+        # fine-level labels, prolonged down the hierarchy as we return
+        mapping_stack: list[DataFrame] = []
+        level = 0
+        current = g
+        while level < self.max_levels:
+            level += 1
+            labels = self._move_phase(current, mat)
+            n_comms = labels.select("comm").distinct().count()
+            n_nodes = current.number_of_nodes()
+            pc = ParallelPartitionCoarsening(
+                current, labels.select("id", F.col("comm").alias("label"))
+            ).run()
+            mapping_stack.append(pc.get_fine_to_coarse_node_mapping())
+            if n_comms == n_nodes:
+                break
+            current = pc.get_coarse_graph()
+        # prolong: compose mappings top-down
+        final = mapping_stack[-1].select(
+            F.col("id").alias("coarse_id"), F.col("super").alias("comm")
+        )
+        for m in reversed(mapping_stack[:-1]):
+            final = (
+                m.select("id", F.col("super").alias("coarse_id"))
+                .join(final, "coarse_id")
+                .select("id", "comm")
+                .localCheckpoint(eager=True)
+                .select(F.col("id").alias("coarse_id"), F.col("comm"))
+            )
+        self._labels = final.select(
+            F.col("coarse_id").alias("id"), F.col("comm").alias("label")
+        )
+
+    def get_partition(self) -> DataFrame:
+        """``(id, label)`` final communities (labels = coarse ids)."""
+        self.assure_finished()
+        return self._labels
+
+    def get_timing(self) -> dict[str, list[float]]:
+        self.assure_finished()
+        return self._timing

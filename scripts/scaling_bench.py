@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: compute so parallelism, not fixed scheduling overhead, dominates (the
 #: protocol's "where the input is large enough" clause). Deterministic,
 #: derived only from the driver-provided parquet.
-REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "16"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "128"))
 ITERS = 8
 
 CHILD = r"""
@@ -75,11 +75,16 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     code = CHILD.format(
         repo=REPO, cpus=cpus, sf_dir=sf_dir, replicas=REPLICAS, iters=ITERS
     )
+    env = dict(os.environ)
+    # the replicated graph is GBs cached + shuffled; size the local JVM
+    # accordingly (a real cluster sizes executors instead)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
