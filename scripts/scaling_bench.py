@@ -108,7 +108,10 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # append raw runs; BENCH/BASELINE.md is the curated summary
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_last.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
 
