@@ -672,6 +672,41 @@ LEFT JOIN degs dv ON dv.id = p.v
 """
 
 
+V_TINY = 256  # node-space for the transitive-closure-oracle (SCC) query
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + FW-BW) on a 256-node
+    directed graph; oracle = mutual transitive closure."""
+    from networkit_spark.operators.scc import StronglyConnectedComponents
+
+    g = directed_graph(spark, sf_dir, V_TINY)
+    scc = StronglyConnectedComponents(g).run()
+    return scc.get_partition().select("id", "label")
+
+
+def q_scc_sql() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % {V_TINY} AS src, l_partkey % {V_TINY} AS dst
+  FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+  )
+),
+reach (a, b) AS (
+  SELECT id AS a, id AS b FROM nodes
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+)
+SELECT f.a AS id, min(f.b) AS label
+FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
+GROUP BY f.a
+"""
+
+
 def q_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PLM (parallel Louvain) — no SQL oracle (multi-level fixpoint);
     invariant-level tests in tests/test_plm.py; the driver records a
@@ -1075,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "largest_component": q_largest_component,
         "modularity": q_modularity,
         "kcore": q_kcore,
+        "scc": q_scc,
         "plm": q_plm,
         "effective_diameter": q_effective_diameter,
         "bfs_hops": q_bfs_hops,
@@ -1111,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "largest_component": q_largest_component_sql(),
         "modularity": q_modularity_sql(),
         # kcore: no SQL oracle (aggregating fixpoint) — rows-only
+        "scc": q_scc_sql(),
         "bfs_hops": q_bfs_hops_sql(),
         "coarsen": q_coarsen_sql(),
         "triangle_filter": q_triangle_filter_sql(),

@@ -41,6 +41,7 @@ from networkit_spark.operators.distance import (
 )
 from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
 from networkit_spark.operators.plm import PLM
+from networkit_spark.operators.scc import StronglyConnectedComponents
 
 __all__ = [
     "BFS",
@@ -48,6 +49,7 @@ __all__ = [
     "EffectiveDiameterApproximation",
     "ParallelPartitionCoarsening",
     "PLM",
+    "StronglyConnectedComponents",
     "Graph",
     "get_spark",
     "DegreeCentrality",
