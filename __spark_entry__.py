@@ -82,12 +82,12 @@ def undirected_graph(spark: SparkSession, sf_dir: str, v: int = V_SMALL) -> Grap
 # SQL fragments mirroring the same derivations for DuckDB
 def _sql_directed(v: int) -> str:
     return f"""
-edges AS (
+edges AS MATERIALIZED (
   SELECT l_orderkey % {v} AS src, l_partkey % {v} AS dst,
          CAST(count(*) AS DOUBLE) AS weight
   FROM lineitem GROUP BY 1, 2
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT id FROM (
     SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
   )
@@ -96,7 +96,7 @@ nodes AS (
 
 def _sql_undirected(v: int) -> str:
     return f"""
-edges AS (
+edges AS MATERIALIZED (
   SELECT least(l_orderkey % {v}, l_partkey % {v}) AS src,
          greatest(l_orderkey % {v}, l_partkey % {v}) AS dst,
          CAST(count(*) AS DOUBLE) AS weight
@@ -104,12 +104,12 @@ edges AS (
   WHERE l_orderkey % {v} <> l_partkey % {v}
   GROUP BY 1, 2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT src, dst, weight FROM edges
   UNION ALL
   SELECT dst AS src, src AS dst, weight FROM edges
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT id FROM (
     SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
   )
@@ -156,7 +156,7 @@ def q_pagerank_sql() -> str:
     steps = []
     for k in range(1, PR_ITERS + 1):
         steps.append(
-            f"""pr{k} AS (
+            f"""pr{k} AS MATERIALIZED (
   SELECT n.id AS id,
          (1 - 0.85) / (SELECT count(*) FROM nodes)
          + 0.85 * coalesce(s.msum, 0) AS rank
@@ -216,7 +216,7 @@ reach (id, label) AS (
   SELECT s.dst AS id, r.label AS label
   FROM reach r JOIN sym s ON s.src = r.id
 ),
-labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+labels AS MATERIALIZED (SELECT id, min(label) AS label FROM reach GROUP BY id)
 SELECT label, count(*) AS size FROM labels GROUP BY label
 """
 
@@ -233,7 +233,7 @@ def q_plp_sql() -> str:
     steps = []
     for k in range(1, PLP_ITERS + 1):
         steps.append(
-            f"""lab{k} AS (
+            f"""lab{k} AS MATERIALIZED (
   SELECT p.id AS id, coalesce(h.new_label, p.label) AS label
   FROM lab{k - 1} p
   LEFT JOIN (
@@ -263,12 +263,12 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ORIENTED = """
-deg AS (
+deg AS MATERIALIZED (
   SELECT id, count(*) AS d FROM (
     SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
   ) GROUP BY id
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.src ELSE e.dst END AS a,
          CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.dst ELSE e.src END AS b,
          CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN dd.d ELSE ds.d END AS d_b
@@ -276,7 +276,7 @@ oriented AS (
   JOIN deg ds ON ds.id = e.src
   JOIN deg dd ON dd.id = e.dst
 ),
-tris AS (
+tris AS MATERIALIZED (
   SELECT e1.a AS a, e1.b AS b, e2.b AS c
   FROM oriented e1
   JOIN oriented e2 ON e1.a = e2.a
@@ -369,7 +369,7 @@ reach (id, label) AS (
   SELECT s.dst AS id, r.label AS label
   FROM reach r JOIN sym s ON s.src = r.id
 ),
-labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+labels AS MATERIALIZED (SELECT id, min(label) AS label FROM reach GROUP BY id)
 SELECT label, count(*) AS size FROM labels GROUP BY label
 ORDER BY size DESC, label ASC LIMIT 1
 """
@@ -397,7 +397,7 @@ reach (id, label) AS (
   SELECT s.dst AS id, r.label AS label
   FROM reach r JOIN sym s ON s.src = r.id
 ),
-labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+labels AS MATERIALIZED (SELECT id, min(label) AS label FROM reach GROUP BY id),
 tot AS (SELECT sum(weight) AS w FROM edges),
 intra AS (
   SELECT sum(e.weight) AS w
@@ -577,7 +577,7 @@ reach (id, label) AS (
   SELECT s.dst AS id, r.label AS label
   FROM reach r JOIN sym s ON s.src = r.id
 ),
-labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+labels AS MATERIALIZED (SELECT id, min(label) AS label FROM reach GROUP BY id),
 compact AS (
   SELECT label, row_number() OVER (ORDER BY label) - 1 AS super
   FROM (SELECT DISTINCT label FROM labels)
@@ -641,7 +641,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_link_prediction_sql() -> str:
     return f"""
 WITH {_sql_undirected(V_SMALL)},
-adj AS (SELECT DISTINCT src, dst FROM sym),
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
 degs AS (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src),
 pairs AS (
   SELECT DISTINCT src AS u, dst AS v FROM edges WHERE (src + dst) % 7 = 0
@@ -701,9 +701,188 @@ reach (a, b) AS (
   UNION
   SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
 )
+r2 AS MATERIALIZED (SELECT a, b FROM reach)
 SELECT f.a AS id, min(f.b) AS label
-FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
+FROM r2 f JOIN r2 g ON g.a = f.b AND g.b = f.a
 GROUP BY f.a
+"""
+
+
+_BC_HOPS = 7  # ≥ diameter of the thinned 256-node graphs (measured 6/4)
+
+
+def _thin_directed_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Sparse 256-node directed graph (~1.5k edges at sf0.01) for the
+    cubic-ish distance-family oracles: lineitem thinned to
+    ``l_linenumber = 1 AND l_quantity < 10``."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") < 10))
+        .select(
+            (F.col("l_orderkey") % V_TINY).alias("src"),
+            (F.col("l_partkey") % V_TINY).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges, directed=True, weighted=False)
+
+
+def _thin_undirected_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") < 10))
+        .select(
+            (F.col("l_orderkey") % V_TINY).alias("a"),
+            (F.col("l_partkey") % V_TINY).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges, directed=False, weighted=False)
+
+
+_SQL_THIN_DIRECTED = f"""
+e AS (
+  SELECT DISTINCT l_orderkey % {V_TINY} AS src, l_partkey % {V_TINY} AS dst
+  FROM lineitem
+  WHERE l_linenumber = 1 AND l_quantity < 10
+    AND l_orderkey % {V_TINY} <> l_partkey % {V_TINY}
+),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+)"""
+
+_SQL_THIN_UNDIRECTED = f"""
+eu AS (
+  SELECT DISTINCT least(l_orderkey % {V_TINY}, l_partkey % {V_TINY}) AS src,
+         greatest(l_orderkey % {V_TINY}, l_partkey % {V_TINY}) AS dst
+  FROM lineitem
+  WHERE l_linenumber = 1 AND l_quantity < 10
+    AND l_orderkey % {V_TINY} <> l_partkey % {V_TINY}
+),
+e AS (SELECT src, dst FROM eu UNION ALL SELECT dst, src FROM eu),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM eu UNION SELECT dst FROM eu)
+)"""
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness (directed, unnormalized) on the thinned
+    256-node graph; reference scaling (no halving, Betweenness.cpp)."""
+    from networkit_spark import Betweenness
+
+    g = _thin_directed_graph(spark, sf_dir)
+    bc = Betweenness(g).run()
+    return bc.scores().select("id", F.round("score", 6).alias("score"))
+
+
+def q_betweenness_sql() -> str:
+    """Brandes unrolled by BFS level: dist via recursive CTE, per-level
+    path counts sigma forward, dependency deltas backward — exactly the
+    batched-layer construction the Spark operator uses."""
+    H = _BC_HOPS
+    # MATERIALIZED: DuckDB inlines CTEs by default, so each unrolled
+    # level would re-run the recursive dist walk — hint forces one pass
+    lvls = []
+    for k in range(1, H + 1):
+        lvls.append(
+            f"""lvl{k} AS MATERIALIZED (
+  SELECT p.s AS s, e.dst AS v, CAST(sum(p.sig) AS DOUBLE) AS sig
+  FROM lvl{k - 1} p
+  JOIN e ON e.src = p.v
+  JOIN dist dv ON dv.s = p.s AND dv.v = e.dst AND dv.d = {k}
+  GROUP BY p.s, e.dst
+)"""
+        )
+    dels = [
+        f"del{H} AS (SELECT s, v, sig, CAST(0 AS DOUBLE) AS delta FROM lvl{H})"
+    ]
+    for k in range(H - 1, 0, -1):
+        dels.append(
+            f"""del{k} AS MATERIALIZED (
+  SELECT l.s AS s, l.v AS v, any_value(l.sig) AS sig,
+         coalesce(sum(l.sig / u.sig * (1.0 + u.delta)), 0.0) AS delta
+  FROM lvl{k} l
+  LEFT JOIN e ON e.src = l.v
+  LEFT JOIN del{k + 1} u ON u.s = l.s AND u.v = e.dst
+  GROUP BY l.s, l.v
+)"""
+        )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT s, v, delta FROM del{k}" for k in range(1, H + 1)
+    )
+    return f"""
+WITH RECURSIVE {_SQL_THIN_DIRECTED},
+walk (s, v, d) AS (
+  SELECT id AS s, id AS v, 0 FROM nodes
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < {H}
+),
+dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+lvl0 AS (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sig FROM nodes),
+{",".join(lvls)},
+{",".join(dels)},
+alldel AS (
+{union}
+)
+SELECT n.id AS id, round(coalesce(t.sc, 0.0), 6) AS score
+FROM nodes n
+LEFT JOIN (SELECT v AS id, sum(delta) AS sc FROM alldel GROUP BY v) t USING (id)
+"""
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard closeness (1/Σd, Closeness.hpp:78-93) on the connected
+    thinned undirected graph."""
+    from networkit_spark import Closeness
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    c = Closeness(g, variant="standard", check_connectedness=False).run()
+    return c.scores().select("id", F.round("score", 8).alias("score"))
+
+
+def q_closeness_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_THIN_UNDIRECTED},
+walk (s, v, d) AS (
+  SELECT id AS s, id AS v, 0 FROM nodes
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < {_BC_HOPS}
+),
+dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+sums AS (SELECT s, sum(d) AS sd FROM dist WHERE d > 0 GROUP BY s)
+SELECT n.id AS id,
+       round(CASE WHEN coalesce(m.sd, 0) > 0 THEN 1.0 / m.sd ELSE 0.0 END, 8)
+         AS score
+FROM nodes n LEFT JOIN sums m ON m.s = n.id
+"""
+
+
+def q_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness Σ 1/d (HarmonicCloseness.cpp:36-44)."""
+    from networkit_spark import HarmonicCloseness
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    h = HarmonicCloseness(g).run()
+    return h.scores().select("id", F.round("score", 6).alias("score"))
+
+
+def q_harmonic_closeness_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_THIN_UNDIRECTED},
+walk (s, v, d) AS (
+  SELECT id AS s, id AS v, 0 FROM nodes
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < {_BC_HOPS}
+),
+dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+sums AS (SELECT s, sum(1.0 / d) AS h FROM dist WHERE d > 0 GROUP BY s)
+SELECT n.id AS id, round(coalesce(m.h, 0.0), 6) AS score
+FROM nodes n LEFT JOIN sums m ON m.s = n.id
 """
 
 
@@ -743,7 +922,7 @@ def q_eigenvector_sql() -> str:
     steps = []
     for k in range(1, 6):
         steps.append(
-            f"""raw{k} AS (
+            f"""raw{k} AS MATERIALIZED (
   SELECT n.id, coalesce(s.msum, 0) AS rank
   FROM nodes n
   LEFT JOIN (
@@ -752,7 +931,7 @@ def q_eigenvector_sql() -> str:
     GROUP BY e.dst
   ) s USING (id)
 ),
-ev{k} AS (
+ev{k} AS MATERIALIZED (
   SELECT id, rank / (SELECT sqrt(sum(rank * rank)) FROM raw{k}) AS rank
   FROM raw{k}
 )"""
@@ -786,7 +965,7 @@ tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
   FROM documents WHERE trim(text) <> ''
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
   FROM tok,
        (SELECT unnest(generate_series(1, (SELECT max(len(toks)) FROM tok))) AS i) s
@@ -822,15 +1001,15 @@ def q_doc_minhash_near_dup_sql() -> str:
     )
     return f"""
 WITH {_SQL_SHINGLES},
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
 ),
-bk AS (
+bk AS MATERIALIZED (
 {band_rows}
 ),
 sized AS (SELECT band, key, count(*) AS sz FROM bk GROUP BY band, key),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bk l
   JOIN bk r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
@@ -872,7 +1051,7 @@ WITH tokrow AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
 ),
-th AS (SELECT doc_id, {_sql_hash32('tok', 'sh')} AS h FROM tokrow),
+th AS MATERIALIZED (SELECT doc_id, {_sql_hash32('tok', 'sh')} AS h FROM tokrow),
 agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
 """
@@ -1111,6 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "kcore": q_kcore,
         "scc": q_scc,
+        "betweenness": q_betweenness,
+        "closeness": q_closeness,
+        "harmonic_closeness": q_harmonic_closeness,
         "plm": q_plm,
         "effective_diameter": q_effective_diameter,
         "bfs_hops": q_bfs_hops,
@@ -1148,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "modularity": q_modularity_sql(),
         # kcore: no SQL oracle (aggregating fixpoint) — rows-only
         "scc": q_scc_sql(),
+        "betweenness": q_betweenness_sql(),
+        "closeness": q_closeness_sql(),
+        "harmonic_closeness": q_harmonic_closeness_sql(),
         "bfs_hops": q_bfs_hops_sql(),
         "coarsen": q_coarsen_sql(),
         "triangle_filter": q_triangle_filter_sql(),

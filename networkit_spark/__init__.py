@@ -42,8 +42,18 @@ from networkit_spark.operators.distance import (
 from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
 from networkit_spark.operators.plm import PLM
 from networkit_spark.operators.scc import StronglyConnectedComponents
+from networkit_spark.operators.betweenness import (
+    ApproxBetweenness,
+    Betweenness,
+    Closeness,
+    HarmonicCloseness,
+)
 
 __all__ = [
+    "ApproxBetweenness",
+    "Betweenness",
+    "Closeness",
+    "HarmonicCloseness",
     "BFS",
     "CoreDecomposition",
     "EffectiveDiameterApproximation",

@@ -54,6 +54,32 @@ EDGE_SCHEMA = StructType(
 DEFAULT_EDGE_WEIGHT = 1.0
 
 
+def zip_dense_rank(df: DataFrame, col: str, out_col: str = "rank") -> DataFrame:
+    """``(col, out_col)`` map with ``out_col`` = 0-based global ascending
+    rank of the distinct ``col`` values (``Partition::compact`` precedent,
+    ``cpp/structures/Partition.cpp:69-98``).
+
+    Scalable alternative to ``row_number() over (order by col)`` — that
+    window has no PARTITION BY, so Spark funnels every distinct value
+    through ONE task. Here ``orderBy`` range-partitions the sorted
+    distinct values across the cluster and ``zipWithIndex`` assigns
+    contiguous global indices from per-partition counts (one extra tiny
+    job). Deterministic: pure function of the value set. Equivalent SQL:
+    ``row_number() over (order by col) - 1``.
+    """
+    spark = df.sparkSession
+    distinct_sorted = df.select(F.col(col)).distinct().orderBy(col)
+    field = distinct_sorted.schema[0]
+    rdd = distinct_sorted.rdd.map(lambda r: r[0]).zipWithIndex()
+    out = StructType(
+        [
+            StructField(col, field.dataType, field.nullable),
+            StructField(out_col, LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rdd, out)
+
+
 class Graph:
     """Immutable graph over an ``edges(src, dst, weight)`` DataFrame."""
 

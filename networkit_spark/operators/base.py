@@ -75,7 +75,9 @@ class Centrality(Algorithm):
         """Dense rank of each node by score (helper mirrored from
         ``networkit/test/test_algorithms.py:179-186``)."""
         self.assure_finished()
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("score"), F.asc("id"))
-        return self._scores.select("id", F.row_number().over(w).alias("rank"))
+        # distributed rank: range sort + zipWithIndex instead of a global
+        # single-partition row_number window
+        spark = self._scores.sparkSession
+        ordered = self._scores.orderBy(F.desc("score"), F.asc("id"))
+        rdd = ordered.rdd.zipWithIndex().map(lambda t: (t[0]["id"], t[1] + 1))
+        return spark.createDataFrame(rdd, "id long, rank long")

@@ -16,11 +16,17 @@ right trade at cluster scale.
 
 Unweighted shortest paths (hop counts) — the reference's Betweenness on
 an unweighted graph. ``k = None`` uses every vertex as a source (exact
-Brandes); undirected dependency sums are halved, matching the
-reference's convention of counting each unordered pair once.
+Brandes). Scaling matches the reference exactly: undirected scores are
+NOT halved (``Betweenness.cpp`` accumulates over all sources; only
+``maximum()`` divides by 2), sampled scores extrapolate by ``2n/k``
+(``EstimateBetweenness.cpp:106``), and ``normalized`` divides by
+``(n-1)(n-2)`` for both directed and undirected
+(``Betweenness.cpp:88-92``, ``EstimateBetweenness.cpp:102,110``).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -36,8 +42,11 @@ class ApproxBetweenness(Centrality):
         n_samples: int | None = None,
         seed: int = 42,
         normalized: bool = False,
-        max_hops: int = 64,
+        max_hops: int | None = None,
     ) -> None:
+        """``max_hops=None`` (default) runs BFS until the frontier is
+        empty — required for exact scores; a finite cap truncates the
+        search and warns if the frontier was still non-empty."""
         super().__init__(graph)
         self.n_samples = n_samples
         self.seed = seed
@@ -83,7 +92,11 @@ class ApproxBetweenness(Centrality):
         visited = layer
         layers = [layer]
         d = 0
-        while d < self.max_hops:
+        truncated = False
+        while True:
+            if self.max_hops is not None and d >= self.max_hops:
+                truncated = True
+                break
             d += 1
             gathered = (
                 nbrs.join(layer, nbrs.src == layer.id)
@@ -110,6 +123,13 @@ class ApproxBetweenness(Centrality):
             layers.append(nxt)
             visited = mat.cut(d, visited.unionAll(nxt))
             layer = nxt
+        if truncated:
+            warnings.warn(
+                f"betweenness BFS truncated at max_hops={self.max_hops} with a "
+                "non-empty frontier; scores are approximate",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
         # ---------- backward: dependency accumulation per level
         # delta(s,v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + delta(s,w))
@@ -170,13 +190,13 @@ class ApproxBetweenness(Centrality):
             return
         totals = acc.groupBy("id").agg(F.sum("delta").alias("score"))
         scale = 1.0
-        if not g.directed:
-            scale *= 0.5  # each unordered pair counted once
         if self.n_samples is not None and k > 0:
-            scale *= n / k  # EstimateBetweenness scaling
+            # EstimateBetweenness.cpp:106 — always 2n/k, directed or not
+            scale *= 2.0 * n / k
         if self.normalized and n > 2:
-            denom = (n - 1) * (n - 2) if g.directed else (n - 1) * (n - 2) / 2.0
-            scale /= denom
+            # Betweenness.cpp:88-92 / EstimateBetweenness.cpp:102,110 —
+            # (n-1)(n-2) pairs, no undirected halving
+            scale /= (n - 1) * (n - 2)
         self._scores = (
             g.vertices.join(totals, "id", "left")
             .select(
@@ -193,6 +213,132 @@ class Betweenness(ApproxBetweenness):
 
     def __init__(self, graph: Graph, normalized: bool = False) -> None:
         super().__init__(graph, n_samples=None, normalized=normalized)
+
+
+class Closeness(Centrality):
+    """Closeness centrality (``cpp/centrality/Closeness.cpp``).
+
+    Batched BFS from EVERY node at once (state rows ``(source, id,
+    dist)``; one join-agg per hop layer, rounds = O(diameter)); per
+    source ``sum = Σ dist``, ``reached`` = |BFS tree|, then
+    ``updateScoreData`` (``include/networkit/centrality/Closeness.hpp:
+    78-93``): standard → ``1/sum`` (×(n−1) if normalized; requires a
+    connected graph, ctor check ``Closeness.cpp:32-49``), generalized →
+    ``(reached−1)/sum/(n−1)`` (×(reached−1) if normalized). Unweighted
+    hop distances (the reference's BFS path; Dijkstra is out of scope).
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        normalized: bool = False,
+        variant: str = "generalized",
+        check_connectedness: bool = True,
+    ) -> None:
+        super().__init__(graph)
+        if variant not in ("standard", "generalized"):
+            raise ValueError("variant must be 'standard' or 'generalized'")
+        self.normalized = normalized
+        self.variant = variant
+        self.check_connectedness = check_connectedness
+
+    def _run(self) -> None:
+        g = self.graph
+        if self.variant == "standard" and self.check_connectedness:
+            from networkit_spark.operators.components import (
+                ConnectedComponents,
+                WeaklyConnectedComponents,
+            )
+            from networkit_spark.operators.scc import StronglyConnectedComponents
+
+            algo = (
+                StronglyConnectedComponents(g)
+                if g.directed
+                else ConnectedComponents(g)
+            )
+            if algo.run().number_of_components() > 1:
+                raise RuntimeError(
+                    "standard closeness is undefined on disconnected graphs; "
+                    "use the generalized variant (Closeness.cpp:43-48)"
+                )
+        mat = Materializer()
+        nbrs = (
+            (g.edges if g.directed else g.symmetrized())
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        n = g.number_of_nodes()
+        layer = mat.cut(
+            0,
+            g.vertices.select(
+                F.col("id").alias("source"), "id", F.lit(0).alias("dist")
+            ),
+        )
+        visited = layer
+        sums: DataFrame | None = None  # (source, sum_d, reached) per level
+        d = 0
+        while True:
+            d += 1
+            nxt = (
+                nbrs.join(layer, nbrs.src == layer.id)
+                .select("source", F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+                .select("source", "id", F.lit(d).alias("dist"))
+            )
+            nxt = mat.cut(d, nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            inc = nxt.groupBy("source").agg(
+                F.sum("dist").cast("double").alias("sum_d"),
+                F.count(F.lit(1)).alias("reached"),
+            )
+            sums = inc if sums is None else sums.unionAll(inc)
+            sums = sums.localCheckpoint(eager=True)
+            visited = mat.cut(d, visited.unionAll(nxt))
+            layer = nxt
+        nbrs.unpersist()
+        if sums is None:
+            self._scores = g.vertices.select("id", F.lit(0.0).alias("score"))
+            return
+        totals = sums.groupBy("source").agg(
+            F.sum("sum_d").alias("sum_d"),
+            (F.sum("reached") + 1).alias("reached"),  # +1 = the source itself
+        )
+        if self.variant == "standard":
+            score = F.when(F.col("sum_d") > 0, 1.0 / F.col("sum_d")).otherwise(0.0)
+            if self.normalized:
+                score = score * (n - 1)
+        else:
+            score = F.when(
+                F.col("sum_d") > 0,
+                (F.col("reached") - 1) / F.col("sum_d") / F.lit(float(n - 1)),
+            ).otherwise(0.0)
+            if self.normalized:
+                score = score * (F.col("reached") - 1)
+        scored = totals.select(F.col("source").alias("id"), score.alias("score"))
+        self._scores = (
+            self.graph.vertices.join(scored, "id", "left")
+            .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        )
+
+
+class HarmonicCloseness(Centrality):
+    """``HarmonicCloseness.cpp``: ``h(v) = Σ_{w≠v, d<∞} 1/d(v,w)``;
+    ``normalized`` divides by n−1 (``HarmonicCloseness.cpp:45-47``)."""
+
+    def __init__(self, graph: Graph, normalized: bool = False) -> None:
+        super().__init__(graph)
+        self.normalized = normalized
+
+    def _run(self) -> None:
+        scores = harmonic_closeness(self.graph)
+        if self.normalized:
+            n = self.graph.number_of_nodes()
+            scores = scores.select("id", (F.col("score") / (n - 1)).alias("score"))
+        self._scores = scores
 
 
 def harmonic_closeness(graph: Graph, n_samples: int | None = None, seed: int = 42) -> DataFrame:
@@ -223,7 +369,7 @@ def harmonic_closeness(graph: Graph, n_samples: int | None = None, seed: int = 4
     visited = layer
     harm: DataFrame | None = None
     d = 0
-    while d < bc.max_hops:
+    while bc.max_hops is None or d < bc.max_hops:
         d += 1
         nxt = (
             nbrs.join(layer, nbrs.src == layer.id)

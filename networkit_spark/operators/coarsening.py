@@ -17,9 +17,9 @@ rounds (``ParallelConnectedComponents.cpp:81-94``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, zip_dense_rank
 from networkit_spark.operators.base import Algorithm
 
 
@@ -32,11 +32,9 @@ class ParallelPartitionCoarsening(Algorithm):
 
     def _run(self) -> None:
         g = self.graph
-        # compact labels to dense 0-based super-node ids
-        w = Window.orderBy("label")
-        compact = self.labels.select("label").distinct().select(
-            "label", (F.row_number().over(w) - 1).alias("super")
-        )
+        # compact labels to dense 0-based super-node ids — distributed
+        # rank (no global single-partition window; runs once per PLM level)
+        compact = zip_dense_rank(self.labels, "label", "super")
         mapping = self.labels.join(F.broadcast(compact), "label").select("id", "super")
         l_src = mapping.select(F.col("id").alias("src"), F.col("super").alias("s_src"))
         l_dst = mapping.select(F.col("id").alias("dst"), F.col("super").alias("s_dst"))

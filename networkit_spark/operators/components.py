@@ -131,6 +131,18 @@ class ConnectedComponents(Algorithm):
             labels = cand
             if changed == 0:
                 break
+        else:
+            # Exhausted max_iterations with labels still moving: hash-min
+            # needs O(diameter) rounds, so a component with diameter >
+            # max_iterations (e.g. a crawl-trap chain) would otherwise
+            # silently yield a WRONG partition. Fail loudly instead.
+            sym.unpersist()
+            raise RuntimeError(
+                f"connected components did not converge in "
+                f"{self.max_iterations} rounds ({changed} labels still "
+                "changing); graph diameter exceeds max_iterations — raise "
+                "max_iterations or coarsen first (coarsening.py)"
+            )
         self._iterations = it - start_iter
         self._labels = labels
         sym.unpersist()
@@ -170,12 +182,9 @@ class ConnectedComponents(Algorithm):
         """Dense 0-based component ids (``Partition::compact``,
         ``Partition.cpp:69-98``): dense_rank over distinct labels."""
         self.assure_finished()
-        from pyspark.sql import Window
+        from networkit_spark.graph import zip_dense_rank
 
-        w = Window.orderBy("label")
-        distinct = self._labels.select("label").distinct().select(
-            "label", (F.dense_rank().over(w) - 1).alias("compact_label")
-        )
+        distinct = zip_dense_rank(self._labels, "label", "compact_label")
         return self._labels.join(F.broadcast(distinct), "label").select(
             "id", F.col("compact_label").alias("label")
         )
@@ -214,10 +223,9 @@ def extract_largest_connected_component(
     sub = graph.subgraph_from_nodes(keep)
     if not compact:
         return sub
-    from pyspark.sql import Window
+    from networkit_spark.graph import zip_dense_rank
 
-    w = Window.orderBy("id")
-    remap = keep.select("id", (F.row_number().over(w) - 1).alias("new_id"))
+    remap = zip_dense_rank(keep, "id", "new_id")
     e = sub.edges
     e = (
         e.join(remap.withColumnRenamed("id", "src").withColumnRenamed("new_id", "new_src"), "src")

@@ -103,10 +103,14 @@ def partition_intersection(p1: DataFrame, p2: DataFrame) -> DataFrame:
         p1.select("id", F.col("label").alias("l1"))
         .join(p2.select("id", F.col("label").alias("l2")), "id")
     )
-    w = Window.orderBy("l1", "l2")
-    pairs = joined.select("l1", "l2").distinct().select(
-        "l1", "l2", (F.dense_rank().over(w) - 1).alias("label")
+    # distributed dense rank over (l1, l2) pairs: range-sorted distinct +
+    # zipWithIndex — no global single-partition window
+    spark = joined.sparkSession
+    distinct_sorted = joined.select("l1", "l2").distinct().orderBy("l1", "l2")
+    rdd = distinct_sorted.rdd.zipWithIndex().map(
+        lambda t: (t[0][0], t[0][1], t[1])
     )
+    pairs = spark.createDataFrame(rdd, "l1 long, l2 long, label long")
     return joined.join(pairs, ["l1", "l2"]).select("id", "label")
 
 

@@ -116,14 +116,17 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     """
     import re
 
+    # Keep blank lines: in METIS a blank adjacency line IS a node (with
+    # no neighbors) — dropping it would shift every later node id. Only
+    # '%' comment lines are removed (METISGraphReader.cpp comment rule).
     with open(path) as f:
-        raw = [ln.strip() for ln in f if ln.strip() and not ln.startswith("%")]
+        raw = [ln.strip() for ln in f if not ln.lstrip().startswith("%")]
     header = re.split(r"\s+", raw[0])
     n = int(header[0])
     rows = []
     for u, line in enumerate(raw[1 : n + 1]):
         if not line:
-            continue
+            continue  # isolated node: contributes no edges
         for v in re.split(r"\s+", line):
             rows.append((u, int(v) - 1, DEFAULT_EDGE_WEIGHT))
     canon = [(u, v, w) for (u, v, w) in rows if u <= v]
