@@ -46,14 +46,20 @@ from networkit_spark.operators.betweenness import (
     ApproxBetweenness,
     Betweenness,
     Closeness,
+    EstimateBetweenness,
     HarmonicCloseness,
+    TopCloseness,
+    TopHarmonicCloseness,
 )
 
 __all__ = [
     "ApproxBetweenness",
     "Betweenness",
     "Closeness",
+    "EstimateBetweenness",
     "HarmonicCloseness",
+    "TopCloseness",
+    "TopHarmonicCloseness",
     "BFS",
     "CoreDecomposition",
     "EffectiveDiameterApproximation",

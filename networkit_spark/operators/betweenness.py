@@ -31,7 +31,7 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
-from networkit_spark.operators.base import Centrality
+from networkit_spark.operators.base import Algorithm, Centrality
 from networkit_spark.plans.iterate import Materializer
 
 
@@ -43,18 +43,32 @@ class ApproxBetweenness(Centrality):
         seed: int = 42,
         normalized: bool = False,
         max_hops: int | None = None,
+        sources: DataFrame | None = None,
     ) -> None:
         """``max_hops=None`` (default) runs BFS until the frontier is
         empty — required for exact scores; a finite cap truncates the
-        search and warns if the frontier was still non-empty."""
+        search and warns if the frontier was still non-empty.
+
+        ``sources`` — explicit sample: a ``(id)`` DataFrame of source
+        vertices, overriding the hash-ordered draw (reproducible sampled
+        runs, e.g. for cross-engine oracles); scores still extrapolate by
+        ``2n/k`` like any sampled run (``EstimateBetweenness.cpp:106``).
+        """
         super().__init__(graph)
         self.n_samples = n_samples
         self.seed = seed
         self.normalized = normalized
         self.max_hops = max_hops
+        self.sources = sources
+
+    @property
+    def _sampled(self) -> bool:
+        return self.n_samples is not None or self.sources is not None
 
     def _sources(self) -> DataFrame:
         verts = self.graph.vertices
+        if self.sources is not None:
+            return self.sources.select(F.col("id").alias("source"))
         if self.n_samples is None:
             return verts.select(F.col("id").alias("source"))
         # deterministic hash-ordered sample of k sources
@@ -190,7 +204,7 @@ class ApproxBetweenness(Centrality):
             return
         totals = acc.groupBy("id").agg(F.sum("delta").alias("score"))
         scale = 1.0
-        if self.n_samples is not None and k > 0:
+        if self._sampled and k > 0:
             # EstimateBetweenness.cpp:106 — always 2n/k, directed or not
             scale *= 2.0 * n / k
         if self.normalized and n > 2:
@@ -213,6 +227,13 @@ class Betweenness(ApproxBetweenness):
 
     def __init__(self, graph: Graph, normalized: bool = False) -> None:
         super().__init__(graph, n_samples=None, normalized=normalized)
+
+
+#: reference class name for the sampled-Brandes variant
+#: (``cpp/centrality/EstimateBetweenness.cpp``) — this engine's
+#: ApproxBetweenness implements exactly those semantics (k sampled
+#: sources, 2n/k extrapolation)
+EstimateBetweenness = ApproxBetweenness
 
 
 class Closeness(Centrality):
@@ -339,6 +360,56 @@ class HarmonicCloseness(Centrality):
             n = self.graph.number_of_nodes()
             scores = scores.select("id", (F.col("score") / (n - 1)).alias("score"))
         self._scores = scores
+
+
+class TopCloseness(Algorithm):
+    """Top-k closeness (``cpp/centrality/TopCloseness.cpp``): the k
+    highest-closeness vertices with the ranking tie rule (score desc,
+    id asc — ``Centrality.cpp:33-38``). The reference prunes BFS trees
+    per-node (a sequential optimization); here the batched all-source
+    BFS already amortizes every source through the same join-agg rounds,
+    so exact scores + top-k is the natural distributed plan.
+
+    Accessors mirror the reference: ``topkNodesList()`` /
+    ``topkScoresList()``.
+    """
+
+    _score_cls = Closeness
+    _score_kwargs = {"variant": "generalized"}
+
+    def __init__(self, graph: Graph, k: int = 1) -> None:
+        super().__init__(graph)
+        self.k = k
+        self._top: DataFrame | None = None
+
+    def _run(self) -> None:
+        algo = self._score_cls(self.graph, **self._score_kwargs).run()
+        self._top = (
+            algo.scores()
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(self.k)
+            .localCheckpoint(eager=True)
+        )
+
+    def topk(self) -> DataFrame:
+        self.assure_finished()
+        return self._top
+
+    def topk_nodes_list(self) -> list[int]:
+        self.assure_finished()
+        return [r["id"] for r in self._top.collect()]
+
+    def topk_scores_list(self) -> list[float]:
+        self.assure_finished()
+        return [r["score"] for r in self._top.collect()]
+
+
+class TopHarmonicCloseness(TopCloseness):
+    """Top-k harmonic closeness
+    (``cpp/centrality/TopHarmonicCloseness.cpp``)."""
+
+    _score_cls = HarmonicCloseness
+    _score_kwargs = {}
 
 
 def harmonic_closeness(graph: Graph, n_samples: int | None = None, seed: int = 42) -> DataFrame:

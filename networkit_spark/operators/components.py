@@ -66,6 +66,7 @@ class ConnectedComponents(Algorithm):
         self.max_iterations = max_iterations
         self._labels: DataFrame | None = None
         self._iterations = 0
+        self._converged = False
 
     def _run(self) -> None:
         g = self.graph
@@ -130,39 +131,63 @@ class ConnectedComponents(Algorithm):
                 )
             labels = cand
             if changed == 0:
+                self._converged = True
                 break
         else:
             # Exhausted max_iterations with labels still moving: hash-min
             # needs O(diameter) rounds, so a component with diameter >
             # max_iterations (e.g. a crawl-trap chain) would otherwise
-            # silently yield a WRONG partition. Fail loudly instead.
-            sym.unpersist()
-            raise RuntimeError(
-                f"connected components did not converge in "
-                f"{self.max_iterations} rounds ({changed} labels still "
-                "changing); graph diameter exceeds max_iterations — raise "
-                "max_iterations or coarsen first (coarsening.py)"
+            # silently yield a WRONG partition. With a durable checkpoint
+            # store the partial state is resumable (a fresh run with the
+            # same run_id continues from the last iteration), so only warn;
+            # without one the partial labels are unreachable garbage —
+            # fail loudly. Accessors guard on convergence either way.
+            if self.store is None:
+                sym.unpersist()
+                raise RuntimeError(
+                    f"connected components did not converge in "
+                    f"{self.max_iterations} rounds ({changed} labels still "
+                    "changing); graph diameter exceeds max_iterations — raise "
+                    "max_iterations or coarsen first (coarsening.py)"
+                )
+            import warnings
+
+            warnings.warn(
+                f"connected components stopped after {self.max_iterations} "
+                f"rounds with {changed} labels still changing; state is "
+                "checkpointed — resume with the same run_id to continue",
+                RuntimeWarning,
+                stacklevel=2,
             )
         self._iterations = it - start_iter
         self._labels = labels
         sym.unpersist()
 
     # ------------------------------------------------------------ accessors
+    def _assure_converged(self) -> None:
+        self.assure_finished()
+        if not self._converged:
+            raise RuntimeError(
+                "connected components did not converge (stopped at "
+                f"max_iterations={self.max_iterations}); partial labels are "
+                "checkpointed — resume with the same run_id to finish"
+            )
+
     def get_partition(self) -> DataFrame:
         """``labels(id, label)`` with label = min node id in component —
         the canonical relabel of the reference's Partition
         (``components.pyx:47-55``)."""
-        self.assure_finished()
+        self._assure_converged()
         return self._labels
 
     def number_of_components(self) -> int:
         """``ConnectedComponents::numberOfComponents``
         (``components.pyx:57-63``)."""
-        self.assure_finished()
+        self._assure_converged()
         return self._labels.select("label").distinct().count()
 
     def component_of_node(self, u: int) -> int:
-        self.assure_finished()
+        self._assure_converged()
         rows = self._labels.where(F.col("id") == u).collect()
         if not rows:
             raise KeyError(u)
@@ -171,7 +196,7 @@ class ConnectedComponents(Algorithm):
     def get_component_sizes(self) -> DataFrame:
         """``getComponentSizes`` ≡ ``Partition::subsetSizes``
         (``Partition.cpp:100-108``)."""
-        self.assure_finished()
+        self._assure_converged()
         return self._labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
     def number_of_iterations(self) -> int:

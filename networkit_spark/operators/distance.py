@@ -96,6 +96,91 @@ def hop_histogram(graph: Graph, source: int) -> DataFrame:
     return bfs.distances().groupBy("dist").agg(F.count(F.lit(1)).alias("count"))
 
 
+class Diameter(Algorithm):
+    """Graph diameter (``cpp/distance/Diameter.cpp``, 327 LoC).
+
+    Reference modes: ``DiameterAlgo.EXACT`` (iFub), ``ESTIMATED_RANGE``
+    (double sweep with an error factor), ``ESTIMATED_SAMPLES``.
+    ``getDiameter()`` returns a ``(lower, upper)`` pair in every mode
+    (equal in exact mode) — the same contract as the reference's
+    ``std::pair<count, count>``.
+
+    Spark re-expression:
+
+    - ``exact``: one **batched** BFS from every vertex at once (state
+      rows ``(source, id)``, one join-agg per hop) — the diameter is the
+      last hop with a non-empty frontier, so no per-source bookkeeping
+      at all. O(diameter) rounds, O(n·reachable) state: correct at any
+      scale but quadratic state on dense giant components — the estimate
+      is the scale path, exactly as in the reference (iFub also degrades
+      to many BFS on adversarial graphs).
+    - ``estimate``: the classic double sweep — BFS from a max-degree
+      vertex, then BFS from the farthest vertex found; the second
+      eccentricity is a lower bound and twice it an upper bound.
+    """
+
+    def __init__(self, graph: Graph, algo: str = "estimate") -> None:
+        if algo not in ("exact", "estimate"):
+            raise ValueError("algo must be 'exact' or 'estimate'")
+        super().__init__(graph)
+        self.algo = algo
+        self._lower = 0
+        self._upper = 0
+
+    def _run(self) -> None:
+        g = self.graph
+        if self.algo == "exact":
+            mat = Materializer()
+            nbrs = (
+                (g.edges if g.directed else g.symmetrized())
+                .select("src", "dst")
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+                .persist()
+            )
+            layer = mat.cut(
+                0, g.vertices.select(F.col("id").alias("source"), "id")
+            )
+            visited = layer
+            hop = 0
+            while True:
+                nxt = (
+                    nbrs.join(layer, nbrs.src == layer.id)
+                    .select("source", F.col("dst").alias("id"))
+                    .distinct()
+                    .join(visited, ["source", "id"], "left_anti")
+                )
+                nxt = mat.cut(hop + 1, nxt)
+                if nxt.limit(1).count() == 0:
+                    break
+                hop += 1
+                visited = mat.cut(hop, visited.unionAll(nxt))
+                layer = nxt
+            nbrs.unpersist()
+            self._lower = self._upper = hop
+            return
+        # estimate: double sweep
+        start_row = (
+            g.degrees().orderBy(F.desc("out_deg"), F.asc("id")).limit(1).collect()
+        )
+        if not start_row:
+            return
+        start = start_row[0]["id"]
+        b1 = BFS(g, start).run()
+        far = (
+            b1.distances().orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()
+        )
+        if not far:
+            return
+        b2 = BFS(g, far[0]["id"]).run()
+        ecc = b2.eccentricity()
+        self._lower, self._upper = ecc, 2 * ecc
+
+    def get_diameter(self) -> tuple[int, int]:
+        self.assure_finished()
+        return self._lower, self._upper
+
+
 class EffectiveDiameterApproximation(Algorithm):
     """ANF sketch effective diameter
     (``cpp/distance/EffectiveDiameterApproximation.cpp:19-128``).

@@ -1,4 +1,4 @@
-"""Core decomposition (k-core) — iterative peel as DataFrame rounds.
+"""Core decomposition (k-core) — h-index fixpoint as DataFrame rounds.
 
 Reference: ``CoreDecomposition`` (``cpp/centrality/CoreDecomposition.cpp:
 26-341``) — ParK-style parallel level-peeling: repeatedly remove all
@@ -6,23 +6,33 @@ nodes of degree < k, assigning ``coreness = k-1`` when a node is peeled
 at level k. Result: per-node core numbers (``scores()``) plus
 ``maxCoreNumber``.
 
-Spark plan: the peel is the loop the reference runs level by level —
-each level is
+Spark plan: instead of translating the peel (whose round count is
+O(max-core) — hundreds of driver rounds on a dense graph), we compute
+the same numbers through the h-index fixpoint (Lü, Zhou, Zhang &
+Stanley, "The H-index of a network node and its relation to degree and
+coreness", Nat. Commun. 7:10168, 2016 — public result): start from
+``h⁰(u) = deg(u)`` and iterate ``hᵗ⁺¹(u) = H({hᵗ(v) : v ∈ N(u)})``
+where ``H`` is the h-index operator (largest h with ≥ h neighbors of
+value ≥ h). The fixpoint equals coreness exactly, values are
+monotonically non-increasing, and convergence typically takes a handful
+of rounds rather than max-core of them.
 
-    degrees ← groupBy over surviving symmetric edges
-    peeled  ← vertices where deg < k          (filter)
-    edges   ← anti-join both endpoints against peeled
+Per round (all JVM-side):
 
-with lineage cut per level. At web scale the surviving edge set shrinks
-monotonically, so later rounds are cheap; the expensive early rounds are
-plain hash aggregations with map-side combine. Matches the reference's
-definition exactly on simple undirected graphs (self-loops removed, like
-the reference's degree semantics for peeling).
+    sym ⋈ values on src → groupBy(dst, h).count → per-dst cumulative
+    count over descending h → h-index = max(min(h, #≥h))
+
+The cumulative window runs over **distinct neighbor values** per vertex
+(≤ max-core + 1 rows), not over neighbors — a hub with 10⁸ neighbors
+contributes at most max-core rows to its window partition, so there is
+no per-hub task skew; the heavy lifting is the partial-aggregated
+``groupBy(dst, h)``. Exactness on golden graphs is pytest-verified
+against the peel definition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Centrality
@@ -37,13 +47,16 @@ class CoreDecomposition(Centrality):
                 "(CoreDecomposition.cpp ctor precondition)"
             )
         super().__init__(graph)
-        self.max_levels = max_levels
+        self.max_levels = max_levels  # round budget for the fixpoint
         self._max_core = 0
+        self._iterations = 0
 
     def _run(self) -> None:
         g = self.graph
+        spark = g.edges.sparkSession
         mat = Materializer()
-        # simple graph: canonical distinct edges, no self-loops
+        # simple graph: canonical distinct edges, no self-loops (the
+        # reference peels on simple-degree semantics)
         canon = (
             g.canonical()
             .select("src", "dst")
@@ -53,51 +66,70 @@ class CoreDecomposition(Centrality):
         sym = canon.unionAll(
             canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        sym = mat.cut(0, sym)
-        alive = mat.cut(0, g.vertices)
-        core: DataFrame | None = None
-        spark = g.edges.sparkSession
-        k = 0
-        while k < self.max_levels:
-            k += 1
-            while True:
-                deg = sym.groupBy(F.col("src").alias("id")).agg(
-                    F.count(F.lit(1)).alias("deg")
-                )
-                with_deg = alive.join(deg, "id", "left").select(
-                    "id", F.coalesce("deg", F.lit(0)).alias("deg")
-                )
-                # cut the peel set before reusing it in three places: a
-                # fresh materialized frame may be referenced repeatedly,
-                # but an in-flight derived plan may not (single-reference
-                # rule, plans/iterate.py)
-                peeled = mat.cut(k, with_deg.where(F.col("deg") < k).select("id"))
-                n_peeled = peeled.count()
-                if n_peeled == 0:
-                    break
-                assigned = peeled.select("id", F.lit(k - 1).alias("core"))
-                core = assigned if core is None else core.unionAll(assigned)
-                core = mat.cut(k, core)
-                alive = mat.cut(k, with_deg.where(F.col("deg") >= k).select("id"))
-                sym = mat.cut(
-                    k,
-                    sym.join(peeled.withColumnRenamed("id", "src"), "src", "left_anti")
-                    .join(peeled.withColumnRenamed("id", "dst"), "dst", "left_anti")
-                    .select("src", "dst"),
-                )
-            if alive.limit(1).count() == 0:
-                break
-        self._max_core = k - 1
-        if core is None:
-            core = spark.createDataFrame([], "id long, core long")
-        self._scores = g.vertices.join(core, "id", "left").select(
-            "id", F.coalesce(F.col("core"), F.lit(0)).cast("double").alias("score")
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = sym.repartition(shuffle_parts, "src").persist()
+
+        vertices = g.vertices
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("h")
         )
+        vals = vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("h", F.lit(0)).alias("h")
+        )
+        vals = mat.cut(0, vals)
+
+        it = 0
+        while it < self.max_levels:
+            it += 1
+            # gather neighbor values; `vals` referenced exactly once in
+            # the round plan (single-reference rule, plans/iterate.py)
+            nbr = sym.join(vals, sym.src == vals.id).select("dst", "h")
+            cnt = nbr.groupBy("dst", "h").agg(F.count(F.lit(1)).alias("c"))
+            w = (
+                Window.partitionBy("dst")
+                .orderBy(F.desc("h"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            hidx = (
+                cnt.withColumn("ge", F.sum("c").over(w))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.least(F.col("h"), F.col("ge"))).alias("h"))
+            )
+            new_vals = vertices.join(hidx, "id", "left").select(
+                "id", F.coalesce("h", F.lit(0)).alias("h")
+            )
+            new_vals = mat.cut(it, new_vals)
+            # values only decrease; change-count joins two materialized
+            # frames as a separate query
+            changed = (
+                new_vals.alias("new")
+                .join(vals.alias("old"), "id")
+                .where(F.col("new.h") != F.col("old.h"))
+                .count()
+            )
+            vals = new_vals
+            if changed == 0:
+                break
+        else:
+            sym.unpersist()
+            raise RuntimeError(
+                f"core decomposition did not converge in {self.max_levels} "
+                "rounds — raise max_levels"
+            )
+        self._iterations = it
+        row = vals.agg(F.max("h").alias("m")).collect()[0]
+        self._max_core = int(row["m"] or 0)
+        self._scores = vals.select("id", F.col("h").cast("double").alias("score"))
+        sym.unpersist()
 
     def max_core_number(self) -> int:
         """``CoreDecomposition::maxCoreNumber``."""
         self.assure_finished()
         return self._max_core
+
+    def number_of_iterations(self) -> int:
+        self.assure_finished()
+        return self._iterations
 
     def core_numbers(self) -> DataFrame:
         """``(id, core)`` integer core numbers."""

@@ -19,13 +19,20 @@ clustering, planted-partition recovery — SURVEY §5), not label-for-label.
 
 Spark plan per round:
 
-    sym_edges ⋈ labels on src
+    (sym_edges ∪ zero-weight self rows) ⋈ labels on src
       → groupBy(dst, label).sum(weight)           # weighted histogram
       → row_number over (dst; weight desc, label asc) = 1   # heaviest, tie→smallest
-      → compare to previous labels, count updates
 
-The histogram groupBy absorbs hub skew via partial aggregation; the
-window is per-dst and shuffles on dst only.
+The injected per-vertex self row (weight 0) makes the round plan
+reference the label state exactly once (single-reference rule,
+``plans/iterate.py``): it carries each node's own label into its
+histogram, so isolated nodes keep their label without a second merge
+join (a zero-weight candidate can never beat a positive neighbor sum),
+and flagging the self row lets the same window pass emit a per-node
+``changed`` bit — the update count is then a trivial scan of the
+materialized round result instead of an old⋈new join. Two jobs per
+round total. The histogram groupBy absorbs hub skew via partial
+aggregation; both windows share the per-dst shuffle.
 """
 
 from __future__ import annotations
@@ -68,6 +75,15 @@ class PLP(Algorithm):
             else max(int(n / 1e5), 0)
         )
         sym = g.symmetrized().select("src", "dst", "weight")
+        # zero-weight self row per vertex: carries the node's own label
+        # into its histogram (single-reference rule — see module doc).
+        sym = sym.unionAll(
+            g.vertices.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(0.0).alias("weight"),
+            )
+        )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sym = sym.repartition(shuffle_parts, "src").persist()
 
@@ -78,7 +94,8 @@ class PLP(Algorithm):
             labels = g.vertices.select("id", F.col("id").alias("label"))
         labels = mat.cut(0, labels, {"phase": "init"})
 
-        w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+        w_pick = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+        w_dst = Window.partitionBy("dst")
         it = 0
         while self.max_iterations is None or it < self.max_iterations:
             t0 = time.time()
@@ -86,37 +103,40 @@ class PLP(Algorithm):
             hist = (
                 sym.join(labels, sym.src == labels.id)
                 .groupBy("dst", "label")
-                .agg(F.sum("weight").alias("w"))
+                .agg(
+                    F.sum("weight").alias("w"),
+                    # marks the label group fed by the self row = old label
+                    F.max(
+                        F.when(F.col("src") == F.col("dst"), 1).otherwise(0)
+                    ).alias("own"),
+                )
             )
-            heaviest = (
-                hist.withColumn("rn", F.row_number().over(w))
+            cand = (
+                hist.withColumn(
+                    "old_label",
+                    F.max(F.when(F.col("own") == 1, F.col("label"))).over(w_dst),
+                )
+                .withColumn("rn", F.row_number().over(w_pick))
                 .where(F.col("rn") == 1)
-                .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+                .select(
+                    F.col("dst").alias("id"),
+                    "label",
+                    (F.col("label") != F.col("old_label")).alias("changed"),
+                )
             )
-            # materialize the winner table BEFORE merging it with the old
-            # labels: the merge below references `labels` again, and the
-            # round plan may reference the in-flight state only once
-            # (single-reference rule, plans/iterate.py). Always an
-            # in-memory checkpoint — it's intra-round, not a resume point.
-            heaviest = heaviest.localCheckpoint(eager=True)
-            # isolated nodes keep their label (PLP.cpp:48-59)
-            cand = labels.join(heaviest, "id", "left").select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label")
-            )
-            cand = mat.cut(it, cand, None) if self.store is None else cand
-            updated = (
-                cand.alias("new")
-                .join(labels.alias("old"), "id")
-                .where(F.col("new.label") != F.col("old.label"))
-                .count()
-            )
+            # one materialization per round; the update count is a trivial
+            # scan of the checkpointed result (no old⋈new join)
+            cand = cand.localCheckpoint(eager=True)
+            updated = cand.where(F.col("changed")).count()
             wall = round(time.time() - t0, 4)
             self._timing.append(wall)
+            labels = cand.select("id", "label")
             if self.store is not None:
-                cand = mat.cut(
-                    it, cand, {"algo": "plp", "updated": updated, "iter_wall_s": wall}
+                labels = mat.cut(
+                    it,
+                    labels,
+                    {"algo": "plp", "updated": updated, "iter_wall_s": wall},
                 )
-            labels = cand
             if updated <= threshold:
                 break
         self._iterations = it

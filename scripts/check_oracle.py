@@ -34,6 +34,9 @@ def norm(v):
 
 
 def main(selected: list[str]) -> int:
+    import time as _time
+
+    t_start = _time.time()
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
@@ -86,6 +89,7 @@ def main(selected: list[str]) -> int:
                 if a != b:
                     print(f"    first diff:\n    spark {a}\n    duck  {b}")
                     break
+    print(f"TOTAL {_time.time() - t_start:.1f}s failures={failures}")
     spark.stop()
     return 1 if failures else 0
 
