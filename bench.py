@@ -31,20 +31,35 @@ def _materialize(df) -> int:
     return 0
 
 
+N_RUNS = 3  # reference protocol: repeated runs, aggregated
+# (benchmark/Benchmark.py:199 uses nRuns=5 averaged; we report the
+# median of 3 — robust to the sandbox's noisy-neighbor variance)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
 def bench_pagerank(spark, sf_dir: str) -> dict:
-    """Headline: PageRank to L1<=1e-6 — edges/s per iteration."""
+    """Headline: PageRank to L1<=1e-6 — edges/s per iteration.
+    unroll=1: reference semantics, tolerance tested every round."""
     from __spark_entry__ import directed_graph
     from networkit_spark import PageRank
 
     g = directed_graph(spark, sf_dir)
     m = g.number_of_edges()
-    t0 = time.time()
-    pr = PageRank(g, damp=0.85, tol=1e-6, norm="l1").run()
-    _materialize(pr.scores())
-    wall = time.time() - t0
-    iters = pr.number_of_iterations()
+    walls, iters = [], 0
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        pr = PageRank(g, damp=0.85, tol=1e-6, norm="l1").run()
+        _materialize(pr.scores())
+        walls.append(time.time() - t0)
+        iters = pr.number_of_iterations()
+    wall = _median(walls)
     return {
         "wall_s": round(wall, 3),
+        "wall_s_runs": [round(w, 3) for w in walls],
         "iterations": iters,
         "edges": m,
         "edges_per_sec_per_iter": round(m * iters / wall, 1),
@@ -54,7 +69,11 @@ def bench_pagerank(spark, sf_dir: str) -> dict:
 def bench_pagerank_scaled(spark, sf_dir: str, replicas: int = 16, iters: int = 8) -> dict:
     """PageRank throughput where per-round compute dominates fixed
     overhead: the sf link graph replicated into disjoint shifted copies
-    (~9.6M edges at 16x for sf0.1), 8 fixed rounds."""
+    (~9.6M edges at 16x for sf0.1), 8 fixed rounds. unroll=1: at this
+    vertex count AQE runtime-broadcasts the materialized per-round rank
+    frame, which beats chaining rounds inside one plan (measured: chained
+    unroll=4 loses ~30% here; it wins ~2x on small graphs where the
+    per-job fixed cost dominates)."""
     from pyspark.sql import functions as F
 
     from __spark_entry__ import V_BIG, directed_graph
@@ -74,13 +93,19 @@ def bench_pagerank_scaled(spark, sf_dir: str, replicas: int = 16, iters: int = 8
     g = Graph(edges.repartition(cpus, "src").persist(), directed=True, weighted=True)
     m = g.number_of_edges()
     PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=1).run()  # warm
-    t0 = time.time()
-    pr = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
-    _materialize(pr.scores())
-    wall = time.time() - t0
+    walls = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        pr = PageRank(
+            g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters
+        ).run()
+        _materialize(pr.scores())
+        walls.append(time.time() - t0)
+    wall = _median(walls)
     g.edges.unpersist()
     return {
         "wall_s": round(wall, 3),
+        "wall_s_runs": [round(w, 3) for w in walls],
         "iterations": iters,
         "edges": m,
         "edges_per_sec_per_iter": round(m * iters / wall, 1),

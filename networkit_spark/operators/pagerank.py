@@ -62,16 +62,31 @@ class PageRank(Centrality):
         max_iterations: int | None = None,
         store: CheckpointStore | None = None,
         broadcast_ranks: bool | None = None,
+        unroll: int = 1,
     ) -> None:
+        """``unroll`` — power-iteration rounds chained per materialized
+        job (default 1 = reference semantics: tolerance tested after
+        every round, ``PageRank.cpp:40-53``). With ``unroll=k`` the
+        round transformation is applied k times inside one plan before
+        the lineage cut — a **chain** of single references, so the
+        checkpointed frame is still referenced exactly once (legal under
+        the single-reference rule, ``plans/iterate.py``) — and the
+        convergence test runs every k rounds. For fixed-iteration runs
+        (``tol=0`` and ``max_iterations % k == 0``) the scores are
+        bit-identical to ``unroll=1``; only the job count (driver
+        round-trips + materializations) drops by ~k×."""
         super().__init__(graph)
         if norm not in ("l1", "l2"):
             raise ValueError("norm must be 'l1' or 'l2'")
+        if unroll < 1:
+            raise ValueError("unroll must be >= 1")
         self.damp = damp
         self.tol = tol
         self.norm = norm
         self.max_iterations = max_iterations
         self.store = store
         self.broadcast_ranks = broadcast_ranks
+        self.unroll = unroll
         self._iterations = 0
 
     def number_of_iterations(self) -> int:
@@ -124,32 +139,40 @@ class PageRank(Centrality):
             ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
             ranks = mat.cut(0, ranks, {"phase": "init", "n": n})
 
-        it = start_iter
-        while True:
-            t0 = time.time()
-            it += 1
-            r = F.broadcast(ranks) if do_broadcast else ranks
+        def one_round(r_in):
+            r = F.broadcast(r_in) if do_broadcast else r_in
             incoming = (
                 contrib.join(r, contrib.src == r.id)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("frac")).alias("msum"))
             )
-            # SINGLE-REFERENCE RULE (engine invariant, plans/iterate.py):
-            # the round's checkpointed plan references `ranks` exactly once
-            # (inside `incoming`). The convergence delta joins old vs new
-            # as a SEPARATE query over two materialized checkpoints —
-            # folding it into the round plan would reference `ranks` twice,
-            # which defeats checkpoint reuse and goes exponential.
-            new_ranks = (
-                vertices.join(incoming, vertices.id == incoming.dst, "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(self.damp) * F.coalesce("msum", F.lit(0.0))
-                        + F.lit(teleport)
-                    ).alias("rank"),
-                )
+            return vertices.join(
+                incoming, vertices.id == incoming.dst, "left"
+            ).select(
+                "id",
+                (
+                    F.lit(self.damp) * F.coalesce("msum", F.lit(0.0))
+                    + F.lit(teleport)
+                ).alias("rank"),
             )
+
+        it = start_iter
+        while True:
+            t0 = time.time()
+            # SINGLE-REFERENCE RULE (engine invariant, plans/iterate.py):
+            # the chunk's checkpointed plan references `ranks` exactly once
+            # (a CHAIN of `unroll` rounds — each level references the one
+            # below it once). The convergence delta joins old vs new as a
+            # SEPARATE query over two materialized checkpoints — folding
+            # it into the round plan would reference `ranks` twice, which
+            # defeats checkpoint reuse and goes exponential.
+            steps = self.unroll
+            if self.max_iterations is not None:
+                steps = min(steps, self.max_iterations - it)
+            new_ranks = ranks
+            for _ in range(max(steps, 1)):
+                new_ranks = one_round(new_ranks)
+                it += 1
             new_ranks = mat.cut(
                 it,
                 new_ranks,

@@ -129,3 +129,40 @@ def test_harmonic_sampled_scales_n_over_k(spark):
         r["id"]: r["score"] for r in harmonic_closeness(g, n_samples=4).collect()
     }
     assert sampled == {k: pytest.approx(v) for k, v in exact.items()}
+
+
+def test_estimate_explicit_sources(spark):
+    # P4 path, sources = {0}: only source 0's dependencies accumulate.
+    # From 0: delta(1)=2 (paths to 2,3 pass through 1), delta(2)=1.
+    # Scale 2n/k = 2*4/1 = 8 -> scores {1: 16, 2: 8}.
+    from networkit_spark import EstimateBetweenness
+
+    g = _graph(spark, P4)
+    srcs = spark.createDataFrame([(0,)], "id long")
+    s = _scores(EstimateBetweenness(g, sources=srcs))
+    assert s[1] == pytest.approx(16.0)
+    assert s[2] == pytest.approx(8.0)
+    assert s[0] == 0.0 and s[3] == 0.0
+
+
+def test_diameter_exact_and_estimate(spark):
+    from networkit_spark.operators.distance import Diameter
+
+    g = _graph(spark, P4)
+    assert Diameter(g, algo="exact").run().get_diameter() == (3, 3)
+    lo, hi = Diameter(g, algo="estimate").run().get_diameter()
+    assert lo <= 3 <= hi
+    star = _graph(spark, STAR)
+    assert Diameter(star, algo="exact").run().get_diameter() == (2, 2)
+
+
+def test_top_harmonic_closeness(spark):
+    from networkit_spark import TopCloseness, TopHarmonicCloseness
+
+    # star: center 0 has h=3, leaves h=1+1/2+1/2=2
+    g = _graph(spark, STAR)
+    tc = TopHarmonicCloseness(g, k=2).run()
+    assert tc.topk_nodes_list() == [0, 1]  # tie among leaves -> smallest id
+    assert tc.topk_scores_list()[0] == pytest.approx(3.0)
+    t2 = TopCloseness(g, k=1).run()
+    assert t2.topk_nodes_list() == [0]
