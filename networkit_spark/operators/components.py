@@ -102,7 +102,7 @@ class ConnectedComponents(Algorithm):
             # the round plan (single-reference rule). Monotone: labels
             # only decrease, so this equals least(own, neighbor-min).
             cand = (
-                sym.join(labels, sym.src == labels.id)
+                sym.join(labels.hint("shuffle_hash"), sym.src == labels.id)
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("label").alias("label"))
             )

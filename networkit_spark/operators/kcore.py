@@ -83,7 +83,9 @@ class CoreDecomposition(Centrality):
             it += 1
             # gather neighbor values; `vals` referenced exactly once in
             # the round plan (single-reference rule, plans/iterate.py)
-            nbr = sym.join(vals, sym.src == vals.id).select("dst", "h")
+            nbr = sym.join(
+                vals.hint("shuffle_hash"), sym.src == vals.id
+            ).select("dst", "h")
             cnt = nbr.groupBy("dst", "h").agg(F.count(F.lit(1)).alias("c"))
             w = (
                 Window.partitionBy("dst")

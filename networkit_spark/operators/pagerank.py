@@ -140,7 +140,14 @@ class PageRank(Centrality):
             ranks = mat.cut(0, ranks, {"phase": "init", "n": n})
 
         def one_round(r_in):
-            r = F.broadcast(r_in) if do_broadcast else r_in
+            # small vertex state: broadcast below the limit; above it a
+            # SHUFFLE_HASH hint on the state side — the default plan is
+            # sort-merge, which re-sorts the big (pre-partitioned,
+            # persisted) contrib side EVERY round; hash-building the
+            # small side streams contrib with no sort (measured ~15%
+            # per-round win at 38M edges, and it removes the one
+            # O(E log E) step from the round)
+            r = F.broadcast(r_in) if do_broadcast else r_in.hint("shuffle_hash")
             incoming = (
                 contrib.join(r, contrib.src == r.id)
                 .groupBy("dst")
@@ -242,7 +249,11 @@ class EigenvectorCentrality(Centrality):
         it = 0
         while True:
             it += 1
-            r = F.broadcast(ranks) if n <= BROADCAST_VERTEX_LIMIT else ranks
+            r = (
+                F.broadcast(ranks)
+                if n <= BROADCAST_VERTEX_LIMIT
+                else ranks.hint("shuffle_hash")
+            )
             incoming = (
                 msg.join(r, msg.src == r.id)
                 .groupBy("dst")
@@ -314,7 +325,11 @@ class KatzCentrality(Centrality):
         it = 0
         while True:
             it += 1
-            r = F.broadcast(scores) if n <= BROADCAST_VERTEX_LIMIT else scores
+            r = (
+                F.broadcast(scores)
+                if n <= BROADCAST_VERTEX_LIMIT
+                else scores.hint("shuffle_hash")
+            )
             incoming = (
                 msg.join(r, msg.src == r.id)
                 .groupBy("dst")

@@ -101,7 +101,7 @@ class PLP(Algorithm):
             t0 = time.time()
             it += 1
             hist = (
-                sym.join(labels, sym.src == labels.id)
+                sym.join(labels.hint("shuffle_hash"), sym.src == labels.id)
                 .groupBy("dst", "label")
                 .agg(
                     F.sum("weight").alias("w"),

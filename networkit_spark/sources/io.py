@@ -156,3 +156,197 @@ def write_partition(labels: DataFrame, path: str) -> None:
 
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("id", "label")
+
+
+# --------------------------------------------------------------- long tail IO
+# Fixture-interop formats (the reference ships them as single-threaded
+# line parsers; they exist to exchange SMALL graphs with other tools).
+# Readers parse headers driver-side and load bodies via Spark text reads
+# where line order is irrelevant; writers collect to the driver — at
+# engine scale the native persistence is parquet CSR (Graph.persist_csr),
+# never these formats.
+
+
+def read_konect(
+    spark: SparkSession, path: str, remap: bool = False
+) -> Graph | tuple[Graph, DataFrame]:
+    """``KONECTGraphReader`` (``cpp/io/KONECTGraphReader.cpp:115-142``):
+    first ``%`` property line declares ``sym|asym|bip`` (undirected /
+    directed / bipartite-as-undirected) and an optional weight mode
+    (``weighted|posweighted|signed|...`` → weighted); data lines are
+    1-based ``u v [w]``."""
+    with open(path) as f:
+        first = f.readline().strip()
+    fmt_tokens = first.lstrip("%").split()
+    graph_format = fmt_tokens[0] if fmt_tokens else "asym"
+    graph_type = fmt_tokens[1] if len(fmt_tokens) > 1 else "unweighted"
+    directed = graph_format == "asym"
+    weighted = graph_type in (
+        "weighted", "posweighted", "signed",
+        "multisigned", "multiweighted", "multiposweighted",
+    )
+    lines = spark.read.text(path).select(F.trim("value").alias("line"))
+    lines = lines.where((F.col("line") != "") & (~F.col("line").startswith("%")))
+    toks = lines.select(F.split("line", r"\s+").alias("t"))
+    parsed = toks.select(
+        F.try_element_at("t", F.lit(1)).alias("su"),
+        F.try_element_at("t", F.lit(2)).alias("sv"),
+        F.try_element_at("t", F.lit(3)).alias("sw"),
+    )
+    if not remap:
+        edges = parsed.select(
+            (F.col("su").cast("long") - 1).alias("src"),
+            (F.col("sv").cast("long") - 1).alias("dst"),
+            F.coalesce(F.col("sw").cast("double"), F.lit(DEFAULT_EDGE_WEIGHT)).alias(
+                "weight"
+            ),
+        )
+        return Graph(edges, directed=directed, weighted=weighted)
+    tokens = parsed.select(F.col("su").alias("url")).unionAll(
+        parsed.select(F.col("sv").alias("url"))
+    )
+    node_map = assign_dense_ids(tokens).withColumnRenamed("url", "token")
+    mu = node_map.select(F.col("token").alias("su"), F.col("id").alias("src"))
+    mv = node_map.select(F.col("token").alias("sv"), F.col("id").alias("dst"))
+    edges = (
+        parsed.join(mu, "su")
+        .join(mv, "sv")
+        .select(
+            "src",
+            "dst",
+            F.coalesce(F.col("sw").cast("double"), F.lit(DEFAULT_EDGE_WEIGHT)).alias(
+                "weight"
+            ),
+        )
+    )
+    g = Graph(edges, directed=directed, weighted=weighted,
+              vertices=node_map.select("id"))
+    return g, node_map
+
+
+def read_matrix_market(spark: SparkSession, path: str) -> Graph:
+    """``MatrixMarketReader`` (``cpp/io/MatrixMarketReader.cpp``):
+    ``%%MatrixMarket matrix coordinate real|pattern [general|symmetric]``;
+    after the (comment-skipping) ``nrows ncols nnz`` header, entries are
+    1-based ``i j [w]``. A square adjacency matrix becomes a graph;
+    ``symmetric`` → undirected."""
+    with open(path) as f:
+        first = f.readline().strip().lower()
+    parts = first.split()
+    if not first.startswith("%%matrixmarket") or len(parts) < 4:
+        raise ValueError("not a MatrixMarket coordinate file")
+    if parts[2] != "coordinate":
+        raise ValueError(f"unsupported MatrixMarket format: {parts[2]}")
+    weighted = parts[3] == "real"
+    if parts[3] not in ("real", "pattern"):
+        raise ValueError(f"unsupported MatrixMarket data type: {parts[3]}")
+    symmetric = len(parts) > 4 and parts[4] == "symmetric"
+    # the size row (nrows ncols nnz) is data-shaped, so the body needs a
+    # line-order-aware parse — driver-side, like the reference (fixture
+    # format, not a scale path)
+    import re as _re
+
+    n = 0
+    rows = []
+    with open(path) as f:
+        state = 0
+        for ln in f:
+            t = ln.strip()
+            if not t or t.startswith("%"):
+                continue
+            p = _re.split(r"\s+", t)
+            if state == 0:
+                state = 1  # size header consumed
+                n = int(p[0])
+                continue
+            w = float(p[2]) if weighted and len(p) > 2 else DEFAULT_EDGE_WEIGHT
+            rows.append((int(p[0]) - 1, int(p[1]) - 1, w))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(
+        edges, directed=not symmetric, weighted=weighted, vertices=vertices
+    )
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """``GMLGraphReader`` (``cpp/io/GMLGraphReader.cpp``): ``graph [
+    directed 1 node [ id .. ] edge [ source .. target .. ] ]`` — a
+    fixture format (driver-side parse)."""
+    import re
+
+    text = open(path).read()
+    directed = bool(re.search(r"\bdirected\s+1\b", text))
+    node_ids = [int(m) for m in re.findall(r"node\s*\[\s*id\s+(\d+)", text)]
+    edge_pairs = re.findall(
+        r"edge\s*\[\s*source\s+(\d+)\s+target\s+(\d+)", text
+    )
+    edges = spark.createDataFrame(
+        [(int(u), int(v), DEFAULT_EDGE_WEIGHT) for u, v in edge_pairs],
+        "src long, dst long, weight double",
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in node_ids], "id long"
+    ) if node_ids else None
+    return Graph(edges, directed=directed, weighted=False, vertices=vertices)
+
+
+def _adjacency_lists(graph: Graph) -> list[list[int]]:
+    """Driver-side 0..n-1 adjacency (fixture-scale writers only)."""
+    n = graph.number_of_nodes()
+    sym = graph.symmetrized() if not graph.directed else graph.edges
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for r in sym.select("src", "dst").collect():
+        adj[r["src"]].append(r["dst"])
+    for lst in adj:
+        lst.sort()
+    return adj
+
+
+def write_metis(graph: Graph, path: str) -> None:
+    """``METISGraphWriter`` (``cpp/io/METISGraphWriter.cpp:16-30``):
+    ``n m 0`` header then 1-based adjacency lines; undirected only."""
+    if graph.directed:
+        raise ValueError("METIS does not support directed graphs")
+    adj = _adjacency_lists(graph)
+    m = graph.number_of_edges()
+    with open(path, "w") as f:
+        f.write(f"{len(adj)} {m} 0\n")
+        for nbrs in adj:
+            f.write(" ".join(str(v + 1) for v in nbrs) + "\n")
+
+
+def write_snap(graph: Graph, path: str) -> None:
+    """``SNAPGraphWriter``: ``p n m u u 0`` problem line + edge lines."""
+    n, m = graph.number_of_nodes(), graph.number_of_edges()
+    with open(path, "w") as f:
+        f.write(f"p {n} {m} u u 0\n")
+        for r in graph.canonical().select("src", "dst").collect():
+            f.write(f"{r['src']} {r['dst']}\n")
+
+
+def write_dot(graph: Graph, path: str) -> None:
+    """``DotGraphWriter``: ``graph { u -- v; }`` (undirected) or
+    ``digraph { u -> v; }``."""
+    kw, arrow = ("digraph", "->") if graph.directed else ("graph", "--")
+    base = graph.edges if graph.directed else graph.canonical()
+    with open(path, "w") as f:
+        f.write(kw + " {\n")
+        for r in base.select("src", "dst").collect():
+            f.write(f"{r['src']} {arrow} {r['dst']};\n")
+        f.write("}\n")
+
+
+def write_gml(graph: Graph, path: str) -> None:
+    """``GMLGraphWriter`` (``cpp/io/GMLGraphWriter.cpp:21-40``)."""
+    base = graph.edges if graph.directed else graph.canonical()
+    with open(path, "w") as f:
+        f.write("graph [\n")
+        if graph.directed:
+            f.write("  directed 1\n")
+        for r in graph.vertices.orderBy("id").collect():
+            f.write(f"  node [\n    id {r['id']}\n  ]\n")
+        for r in base.select("src", "dst").collect():
+            f.write(
+                f"  edge [\n    source {r['src']}\n    target {r['dst']}\n  ]\n"
+            )
+        f.write("]\n")

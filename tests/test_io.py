@@ -108,3 +108,80 @@ def test_graph_merge(spark):
         (1, 2),
         (2, 3),
     }
+
+
+def test_read_konect(spark, tmp_path):
+    from networkit_spark.sources.io import read_konect
+
+    p = tmp_path / "g.konect"
+    p.write_text("% asym weighted\n% 3 3\n1 2 2.5\n2 3 1.0\n3 1 4.0\n")
+    g = read_konect(spark, str(p))
+    assert g.directed and g.weighted
+    assert {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()} == {
+        (0, 1, 2.5), (1, 2, 1.0), (2, 0, 4.0)
+    }
+    p2 = tmp_path / "g2.konect"
+    p2.write_text("% sym unweighted\n1 2\n2 3\n")
+    g2 = read_konect(spark, str(p2))
+    assert not g2.directed and not g2.weighted
+
+
+def test_read_matrix_market(spark, tmp_path):
+    from networkit_spark.sources.io import read_matrix_market
+
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% comment\n3 3 2\n1 2 1.5\n2 3 2.5\n"
+    )
+    g = read_matrix_market(spark, str(p))
+    assert not g.directed and g.weighted
+    assert g.number_of_nodes() == 3
+    assert {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()} == {
+        (0, 1, 1.5), (1, 2, 2.5)
+    }
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_gml, write_gml
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], num_nodes=3)
+    p = tmp_path / "g.gml"
+    write_gml(g, str(p))
+    back = read_gml(spark, str(p))
+    assert not back.directed
+    assert back.number_of_nodes() == 3
+    assert {(r["src"], r["dst"]) for r in back.canonical().collect()} == {
+        (0, 1), (1, 2), (0, 2)
+    }
+
+
+def test_write_metis_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_metis, write_metis
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=4)  # node 3 isolated
+    p = tmp_path / "g.graph"
+    write_metis(g, str(p))
+    back = read_metis(spark, str(p))
+    assert back.number_of_nodes() == 4
+    assert {(r["src"], r["dst"]) for r in back.canonical().collect()} == {
+        (0, 1), (1, 2)
+    }
+
+
+def test_write_snap_dot(spark, tmp_path):
+    from networkit_spark.sources.io import write_dot, write_snap
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=3)
+    sp = tmp_path / "g.snap"
+    write_snap(g, str(sp))
+    lines = sp.read_text().strip().splitlines()
+    assert lines[0] == "p 3 2 u u 0"
+    assert set(lines[1:]) == {"0 1", "1 2"}
+    dp = tmp_path / "g.dot"
+    write_dot(g, str(dp))
+    txt = dp.read_text()
+    assert txt.startswith("graph {") and "0 -- 1;" in txt
+    gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
+    write_dot(gd, str(dp))
+    assert "digraph" in dp.read_text() and "0 -> 1;" in dp.read_text()

@@ -135,3 +135,45 @@ def test_streaming_event_pipeline(spark, tmp_path):
     fb_q.awaitTermination(120)
     edges = {(r["src"], r["dst"]) for r in upd.graph.edges.collect()}
     assert edges == {(0, 2), (1, 2)}
+
+
+def test_dyn_connected_components(spark):
+    from networkit_spark.operators.components import ConnectedComponents
+    from networkit_spark.operators.dyncomponents import DynConnectedComponents
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    # two components: 0-1-2 and 3-4
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (3, 4)], directed=False, num_nodes=5
+    )
+    dyn = DynConnectedComponents(g).run()
+    assert dyn.number_of_components() == 2
+
+    def batch(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    # addition merges the two components
+    dyn.update(batch([(None, "EDGE_ADDITION", 2, 3, 1.0)]))
+    assert dyn.number_of_components() == 1
+    assert dyn.component_of_node(4) == 0
+
+    # removal splits again (replacement-path case: none exists)
+    dyn.update(batch([(None, "EDGE_REMOVAL", 2, 3, None)]))
+    assert dyn.number_of_components() == 2
+
+    # removal with a replacement path keeps one component
+    dyn.update(batch([(None, "EDGE_ADDITION", 0, 2, 1.0)]))
+    dyn.update(batch([(None, "EDGE_REMOVAL", 0, 1, None)]))
+    assert dyn.component_of_node(1) == 0
+
+    # new node arrives as singleton, then is attached
+    dyn.update(batch([(None, "NODE_ADDITION", 7, None, None)]))
+    assert dyn.component_of_node(7) == 7
+    dyn.update(batch([(None, "EDGE_ADDITION", 7, 4, 1.0)]))
+    assert dyn.component_of_node(7) == 3
+
+    # contract: equals a fresh static run on the final snapshot
+    fresh = ConnectedComponents(dyn.graph).run().get_partition()
+    a = {(r["id"], r["label"]) for r in dyn.get_partition().collect()}
+    b = {(r["id"], r["label"]) for r in fresh.collect()}
+    assert a == b
