@@ -456,6 +456,41 @@ SELECT round(
 """
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Assortativity.cpp:63-90 Pearson mode over
+    edge endpoint degrees) on the V_SMALL undirected graph."""
+    from networkit_spark.operators.correlation import Assortativity
+
+    g = undirected_graph(spark, sf_dir)
+    deg = (
+        g.symmetrized()
+        .select("src", "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    r = Assortativity(g, attribute=deg).run().get_coefficient()
+    return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+
+def q_assortativity_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+deg AS (
+  SELECT src AS id, CAST(count(*) AS DOUBLE) AS x FROM sym GROUP BY src
+),
+pairs AS (
+  SELECT du.x AS xu, dv.x AS xv
+  FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+),
+mean AS (SELECT avg(xu) AS mx, avg(xv) AS my FROM pairs)
+SELECT round(
+  sum((xu - mx) * (xv - my))
+  / sqrt(sum((xu - mx) * (xu - mx)) * sum((xv - my) * (xv - my))), 6
+) AS assortativity
+FROM pairs, mean
+"""
+
+
 # ------------------------------------------------------- document / text ops
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per md5(text)."""
@@ -593,6 +628,53 @@ SELECT id, min(d) AS dist FROM walk GROUP BY id
 """
 
 
+# Rigorous Bellman-Ford round bound: weights are 1..5 and the thin
+# graph's hop diameter is <= 7, so any shortest weighted distance is
+# <= 35; with unit-minimum weights a shortest path therefore uses <= 35
+# edges -- 35 relaxation rounds provably reach the fixpoint.
+_SSSP_ROUNDS = 35
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Dijkstra.cpp result
+    contract) from the smallest node id, deterministic weights
+    w = 1 + (src+dst) % 5; oracle = unrolled Bellman-Ford."""
+    from networkit_spark.operators.distance import Dijkstra
+
+    g = _thin_directed_graph(spark, sf_dir)
+    edges = g.edges.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight")
+    )
+    wg = Graph(edges, directed=True, weighted=True)
+    src = g.vertices.agg(F.min("id")).collect()[0][0]
+    dj = Dijkstra(wg, source=int(src)).run()
+    return dj.distances().select("id", F.round("dist", 6).alias("dist"))
+
+
+def q_sssp_sql() -> str:
+    steps = []
+    for k in range(1, _SSSP_ROUNDS + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT p.id, least(p.dist, coalesce(m.nd, p.dist)) AS dist
+  FROM d{k - 1} p LEFT JOIN (
+    SELECT e.dst AS id, min(p2.dist + 1 + (e.src + e.dst) % 5) AS nd
+    FROM e JOIN d{k - 1} p2 ON p2.id = e.src GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return f"""
+WITH {_SQL_THIN_DIRECTED},
+d0 AS (
+  SELECT id, CASE WHEN id = (SELECT min(id) FROM nodes)
+                  THEN 0.0 ELSE 1e18 END AS dist
+  FROM nodes
+),
+{",".join(steps)}
+SELECT id, round(dist, 6) AS dist FROM d{_SSSP_ROUNDS} WHERE dist < 1e17
+"""
+
+
 def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract the undirected graph by its connected-component labels
     (``ParallelPartitionCoarsening``): super-edges with summed weights."""
@@ -652,6 +734,42 @@ FROM edges e
 JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
   ON p.u = e.src AND p.v = e.dst
 WHERE p.cnt >= 2
+"""
+
+
+def q_local_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalDegreeScore sparsifier (LocalDegreeScore.cpp:38-88):
+    competition-ranked neighbor degrees, max over endpoints."""
+    from networkit_spark.operators.sparsification import local_degree_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return local_degree_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_local_degree_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+deg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src),
+j AS (
+  SELECT a.src, a.dst, ds.d AS d_src, dd.d AS d_dst
+  FROM adj a JOIN deg ds ON ds.id = a.src JOIN deg dd ON dd.id = a.dst
+),
+ranked AS (
+  SELECT src, dst, d_src, d_dst,
+         rank() OVER (PARTITION BY src ORDER BY d_dst DESC) AS rnk
+  FROM j
+),
+scored AS (
+  SELECT src, dst,
+         CASE WHEN d_src > 1 THEN 1.0 - ln(rnk) / ln(d_src) ELSE 1.0 END AS e
+  FROM ranked
+)
+SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+       round(max(e), 6) AS score
+FROM scored GROUP BY 1, 2
 """
 
 
@@ -1107,8 +1225,8 @@ SELECT id, round(rank, 8) AS score FROM ev5
 
 # --------------------------------------------------- dedup / similarity ops
 _MH_HASHES = 16
-_MH_BANDS = 4
-_MH_ROWS = 4
+_MH_BANDS = 8  # 8 bands x 2 rows: s-curve midpoint ~(1/8)^(1/2) = 0.35
+_MH_ROWS = 2
 _MH_K = 3
 _MH_THRESHOLD = 0.1
 
@@ -1148,9 +1266,17 @@ def q_doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hash32_lane(expr: str, salt: str, lane: int) -> str:
+    """DuckDB twin of dedup.portable_hash32_lane."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{salt}:' || {expr}), {1 + 8 * lane}, 8)) AS UBIGINT) AS BIGINT)"
+    )
+
+
 def q_doc_minhash_near_dup_sql() -> str:
     mins = ",\n         ".join(
-        f"min({_sql_hash32('shingle', f'mh{i}')}) AS h{i}" for i in range(_MH_HASHES)
+        f"min({_sql_hash32_lane('shingle', f'mh{i // 4}', i % 4)}) AS h{i}"
+        for i in range(_MH_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT {b} AS band, concat_ws('_', {cols}) AS key, doc_id FROM sig".format(
@@ -1459,10 +1585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plm": q_plm,
         "effective_diameter": q_effective_diameter,
         "bfs_hops": q_bfs_hops,
+        "sssp": q_sssp,
         "coarsen": q_coarsen,
         "triangle_filter": q_triangle_filter,
+        "local_degree": q_local_degree,
         "link_prediction": q_link_prediction,
         "eigenvector": q_eigenvector,
+        "assortativity": q_assortativity,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1500,10 +1629,13 @@ def oracle_sql() -> dict[str, str]:
         "closeness": q_closeness_sql(),
         "harmonic_closeness": q_harmonic_closeness_sql(),
         "bfs_hops": q_bfs_hops_sql(),
+        "sssp": q_sssp_sql(),
         "coarsen": q_coarsen_sql(),
         "triangle_filter": q_triangle_filter_sql(),
+        "local_degree": q_local_degree_sql(),
         "link_prediction": q_link_prediction_sql(),
         "eigenvector": q_eigenvector_sql(),
+        "assortativity": q_assortativity_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),

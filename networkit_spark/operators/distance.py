@@ -301,3 +301,94 @@ class EffectiveDiameterApproximation(Algorithm):
     def get_effective_diameter(self) -> float:
         self.assure_finished()
         return self._effective_diameter
+
+
+class Dijkstra(Algorithm):
+    """Single-source weighted shortest paths (``cpp/distance/Dijkstra.cpp``
+    — priority-queue Dijkstra in the reference; heap order is a
+    sequential-execution detail, the RESULT is the weighted distance
+    vector).
+
+    Spark re-expression: distributed Bellman-Ford-style relaxation — per
+    round every improved vertex relaxes its out-edges
+    (``frontier ⋈ edges → min(dist + w) per dst → keep strict
+    improvements``). Rounds ≤ longest shortest path in hops; each round
+    shuffles only frontier-adjacent edges. Negative weights are rejected
+    like the reference (``Dijkstra.cpp`` requires non-negative).
+    """
+
+    def __init__(self, graph: Graph, source: int, max_rounds: int = 10_000) -> None:
+        super().__init__(graph)
+        self.source = source
+        self.max_rounds = max_rounds
+        self._dist: DataFrame | None = None
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        neg = g.edges.where(F.col("weight") < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "Dijkstra requires non-negative edge weights (Dijkstra.cpp)"
+            )
+        nbrs = (g.edges if g.directed else g.symmetrized()).select(
+            "src", "dst", "weight"
+        )
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nbrs = nbrs.repartition(shuffle_parts, "src").persist()
+        mat = Materializer()
+        dist = spark.createDataFrame(
+            [(self.source, 0.0)], "id long, dist double"
+        )
+        dist = mat.cut(0, dist)
+        frontier = dist
+        rounds = 0
+        while rounds < self.max_rounds:
+            rounds += 1
+            relaxed = (
+                nbrs.join(frontier.hint("shuffle_hash"), nbrs.src == frontier.id)
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            )
+            relaxed = relaxed.localCheckpoint(eager=True)
+            # strict improvements only (dist may shrink repeatedly on
+            # weighted graphs, unlike hop-BFS)
+            improved = (
+                relaxed.join(dist, relaxed.nid == dist.id, "left")
+                .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                .select(F.col("nid").alias("id"), F.col("cand").alias("dist"))
+            )
+            improved = mat.cut(rounds, improved)
+            if improved.limit(1).count() == 0:
+                break
+            dist = mat.cut(
+                rounds,
+                dist.join(
+                    improved.select(F.col("id").alias("iid"), F.col("dist").alias("nd")),
+                    dist.id == F.col("iid"),
+                    "full",
+                ).select(
+                    F.coalesce("id", "iid").alias("id"),
+                    F.coalesce("nd", "dist").alias("dist"),
+                ),
+            )
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"Dijkstra did not converge in {self.max_rounds} rounds"
+            )
+        self._dist = dist
+        nbrs.unpersist()
+
+    def distances(self) -> DataFrame:
+        """``(id, dist)`` for reached nodes (unreachable absent, like
+        BFS.distances)."""
+        self.assure_finished()
+        return self._dist
+
+    def distance(self, t: int) -> float:
+        self.assure_finished()
+        rows = self._dist.where(F.col("id") == t).collect()
+        if not rows:
+            return float("inf")
+        return rows[0]["dist"]

@@ -63,3 +63,68 @@ def degree_product_scores(graph: Graph) -> DataFrame:
             (F.col("du") * F.col("dv")).cast("double").alias("score"),
         )
     )
+
+
+def local_degree_scores(graph: Graph) -> DataFrame:
+    """``LocalDegreeScore`` (``cpp/sparsification/LocalDegreeScore.cpp:
+    38-88``): per node i (degree d), rank its neighbors by degree
+    descending with competition ranking (ties share the smallest rank);
+    edge score from i's side is ``1 - log(rank)/log(d)`` (1.0 when
+    d ≤ 1); the undirected edge keeps the max over both endpoints.
+
+    Skew-free plan: the rank of a neighbor with degree x equals
+    ``1 + #neighbors of i with degree > x``, so the window runs over
+    **distinct neighbor degrees per node** (groupBy(src, d) + cumulative
+    count — the same shape as the k-core h-index pass), never over a
+    hub's full neighbor list; the per-edge rank is then a join on
+    ``(src, neighbor_degree)``.
+
+    Returns ``(u, v, score)`` over canonical edges.
+    """
+    from pyspark.sql import Window
+
+    deg = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst"))
+    ds = deg.select(F.col("id").alias("src"), F.col("d").alias("d_src"))
+    j = sym.join(dd, "dst").join(ds, "src")
+    # competition rank via cumulative counts over DISTINCT degree values
+    per_val = j.groupBy("src", "d_src", "d_dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy(F.desc("d_dst"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.withColumn(
+        "rnk", F.sum("c").over(w) - F.col("c") + 1
+    )
+    e = F.when(
+        F.col("d_src") > 1,
+        1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("d_src").cast("double")),
+    ).otherwise(F.lit(1.0))
+    scored = j.join(ranked.select("src", "d_dst", "rnk"), ["src", "d_dst"]).select(
+        "src", "dst", e.alias("e")
+    )
+    return (
+        scored.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "e",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("e").alias("score"))
+    )

@@ -162,3 +162,43 @@ def streaming_degree_counts(events: DataFrame, watermark: str = "30 seconds") ->
         .groupBy(F.col("u").alias("id"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    key_col: str = "content_hash",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeated content keys within
+    the watermark horizon (state = one row per key, expired by event
+    time). The streaming twin of the batch ``doc_exact_dedup`` pipeline —
+    ``dropDuplicates`` over a watermarked stream is Spark's built-in
+    keyed-state operator, so no custom state function is needed."""
+    return docs.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+
+
+def streaming_component_refresh(
+    graph: Graph, events: DataFrame, every_batches: int = 1
+):
+    """foreachBatch sink wiring: an event stream drives a
+    :class:`~networkit_spark.operators.dyncomponents.DynConnectedComponents`
+    instance — additions merge labels in O(batch), removals recompute
+    only affected components (the Dyn* batch-incremental path of the
+    reference, SURVEY §2.10).
+
+    Returns ``(dyn, sink)`` — pass ``sink`` to
+    ``events.writeStream.foreachBatch(sink)``; read
+    ``dyn.get_partition()`` between batches.
+    """
+    from networkit_spark.operators.dyncomponents import DynConnectedComponents
+
+    dyn = DynConnectedComponents(graph).run()
+    state = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        state["n"] += 1
+        if state["n"] % every_batches == 0:
+            dyn.update(batch_df)
+
+    return dyn, sink

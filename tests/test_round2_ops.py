@@ -1,0 +1,117 @@
+"""Round-2 operators: Dijkstra, LocalDegreeScore, Assortativity,
+streaming dedup plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark import Graph
+
+
+def test_dijkstra_directed(spark):
+    from networkit_spark.operators.distance import Dijkstra
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 2.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph(edges, directed=True, weighted=True)
+    dj = Dijkstra(g, source=0).run()
+    d = {r["id"]: r["dist"] for r in dj.distances().collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0, 3: 4.0}
+    assert dj.distance(3) == 4.0
+    assert dj.distance(99) == float("inf")
+
+
+def test_dijkstra_undirected_and_negative(spark):
+    from networkit_spark.operators.distance import Dijkstra
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 3.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph(edges, directed=False, weighted=True)
+    d = {r["id"]: r["dist"] for r in Dijkstra(g, 2).run().distances().collect()}
+    assert d == {2: 0.0, 1: 2.0, 0: 3.0}
+    neg = Graph(
+        spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, weight double"),
+        directed=True, weighted=True,
+    )
+    with pytest.raises(ValueError):
+        Dijkstra(neg, 0).run()
+
+
+def test_local_degree_scores(spark):
+    from networkit_spark.operators.sparsification import local_degree_scores
+
+    # deg: 0->3, 1->2, 2->2, 3->1; hand-computed competition ranks
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    s = {(r["u"], r["v"]): round(r["score"], 6) for r in local_degree_scores(g).collect()}
+    assert s[(0, 1)] == 1.0
+    assert s[(0, 2)] == 1.0
+    assert s[(0, 3)] == 1.0  # leaf side keeps it (d=1 -> 1.0)
+    assert s[(1, 2)] == 0.0  # rank 2 of 2 on both sides
+
+
+def test_assortativity_numeric(spark):
+    from networkit_spark.operators.correlation import (
+        Assortativity,
+        degree_assortativity,
+    )
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)])  # path P3
+    att = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 1.0)], "id long, v double")
+    r = Assortativity(g, attribute=att).run().get_coefficient()
+    assert r == pytest.approx(-1.0)
+    assert degree_assortativity(g) == pytest.approx(-1.0)
+
+
+def test_assortativity_nominal(spark):
+    from networkit_spark.operators.correlation import Assortativity
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    r = Assortativity(g, partition=part).run().get_coefficient()
+    assert r == pytest.approx(0.2)
+    with pytest.raises(ValueError):
+        Assortativity(g)
+
+
+def test_streaming_exact_dedup_plan(spark):
+    from networkit_spark.streaming.events import streaming_exact_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "content_hash string, ts string"
+    ).select("content_hash", F.col("ts").cast("timestamp"))
+    out = streaming_exact_dedup(docs)
+    # batch-mode sanity: watermark is a no-op, dedup applies
+    dup = docs.unionAll(docs)
+    assert streaming_exact_dedup(dup).count() == 1
+    assert out.columns == ["content_hash", "ts"]
+
+
+def test_minimum_spanning_forest(spark):
+    from networkit_spark.operators.spanning import (
+        MinimumSpanningForest,
+        SpanningForest,
+    )
+
+    # square with a heavy diagonal + disjoint pair; MST weight = 1+1+2 + 7
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 0, 2.0), (0, 2, 5.0),
+         (8, 9, 7.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph(edges, directed=False, weighted=True)
+    msf = MinimumSpanningForest(g).run()
+    assert msf.total_weight() == pytest.approx(11.0)
+    f = msf.get_forest().collect()
+    assert len(f) == 4  # n - #components = 6 - 2
+    # partition byproduct = connected components (canonical min-id labels)
+    labs = {r["id"]: r["label"] for r in msf.get_partition().collect()}
+    assert labs[0] == labs[1] == labs[2] == labs[3] == 0
+    assert labs[8] == labs[9] == 8
+
+    sf = SpanningForest(g).run()
+    assert len(sf.get_forest().collect()) == 4
