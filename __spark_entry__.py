@@ -628,6 +628,30 @@ SELECT id, min(d) AS dist FROM walk GROUP BY id
 """
 
 
+def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark hop distances (APSP.cpp / SPSP.cpp contract) from sources
+    {0,1,2,3} — all sources advance in one batched BFS."""
+    from networkit_spark.operators.distance import APSP
+
+    g = undirected_graph(spark, sf_dir)
+    apsp = APSP(g, sources=[0, 1, 2, 3], max_hops=30).run()
+    return apsp.distances().select("source", "id", "dist")
+
+
+def q_apsp_sql() -> str:
+    return f"""
+WITH RECURSIVE {_sql_undirected(V_SMALL)},
+walk (source, id, d) AS (
+  SELECT id AS source, id, 0 FROM nodes WHERE id IN (0, 1, 2, 3)
+  UNION
+  SELECT w.source, s.dst AS id, w.d + 1 AS d
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.d < 30
+)
+SELECT source, id, min(d) AS dist FROM walk GROUP BY source, id
+"""
+
+
 # Rigorous Bellman-Ford round bound: weights are 1..5 and the thin
 # graph's hop diameter is <= 7, so any shortest weighted distance is
 # <= 35; with unit-minimum weights a shortest path therefore uses <= 35
@@ -770,6 +794,39 @@ scored AS (
 SELECT least(src, dst) AS u, greatest(src, dst) AS v,
        round(max(e), 6) AS score
 FROM scored GROUP BY 1, 2
+"""
+
+
+def q_scan_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural similarity (SCANStructuralSimilarityScore.cpp:
+    10-16): (tri+1)/sqrt((du+1)(dv+1)) per canonical edge."""
+    from networkit_spark.operators.sparsification import scan_similarity_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return scan_similarity_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_scan_similarity_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_ORIENTED},
+epairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c) AS u, greatest(a, c) AS v FROM tris
+  UNION ALL SELECT least(b, c) AS u, greatest(b, c) AS v FROM tris
+),
+tri AS (
+  SELECT e.src AS u, e.dst AS v, coalesce(p.cnt, 0) AS tri
+  FROM edges e
+  LEFT JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
+    ON p.u = e.src AND p.v = e.dst
+),
+sdeg AS (SELECT src AS id, count(DISTINCT dst) AS d FROM sym WHERE src <> dst GROUP BY src)
+SELECT t.u, t.v,
+       round((t.tri + 1) / sqrt((du.d + 1) * (dv.d + 1)), 6) AS score
+FROM tri t JOIN sdeg du ON du.id = t.u JOIN sdeg dv ON dv.id = t.v
 """
 
 
@@ -1585,10 +1642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plm": q_plm,
         "effective_diameter": q_effective_diameter,
         "bfs_hops": q_bfs_hops,
+        "apsp": q_apsp,
         "sssp": q_sssp,
         "coarsen": q_coarsen,
         "triangle_filter": q_triangle_filter,
         "local_degree": q_local_degree,
+        "scan_similarity": q_scan_similarity,
         "link_prediction": q_link_prediction,
         "eigenvector": q_eigenvector,
         "assortativity": q_assortativity,
@@ -1629,10 +1688,12 @@ def oracle_sql() -> dict[str, str]:
         "closeness": q_closeness_sql(),
         "harmonic_closeness": q_harmonic_closeness_sql(),
         "bfs_hops": q_bfs_hops_sql(),
+        "apsp": q_apsp_sql(),
         "sssp": q_sssp_sql(),
         "coarsen": q_coarsen_sql(),
         "triangle_filter": q_triangle_filter_sql(),
         "local_degree": q_local_degree_sql(),
+        "scan_similarity": q_scan_similarity_sql(),
         "link_prediction": q_link_prediction_sql(),
         "eigenvector": q_eigenvector_sql(),
         "assortativity": q_assortativity_sql(),

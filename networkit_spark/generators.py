@@ -78,6 +78,106 @@ def clustered_random(
     return Graph(edges, directed=False, vertices=verts), truth
 
 
+def chung_lu(
+    spark: SparkSession,
+    n: int,
+    exponent: float = 2.5,
+    avg_degree: float = 8.0,
+    seed: int = 42,
+) -> Graph:
+    """Chung-Lu expected-degree model (``cpp/generators/
+    ChungLuGenerator.cpp``): undirected pair (u,v) kept with probability
+    ``min(1, w_u·w_v / S)`` where ``S = Σ w``. Weights follow a
+    deterministic power law ``w_i ∝ (i+1)^(-1/(exponent-1))`` scaled to
+    the requested average degree — the standard web-graph degree profile.
+
+    Pair enumeration is the same ``spark.range(n²)`` scan as
+    :func:`erdos_renyi` (test scale); at cluster scale one would switch
+    to per-node binomial sampling, the plan shape stays a narrow scan.
+    """
+    alpha = 1.0 / (exponent - 1.0)
+    # driver-side closed form for the normalization (exact, no data scan);
+    # w_i = c·(i+1)^-alpha with c chosen so Σ w = n·avg_degree
+    s = sum((i + 1.0) ** -alpha for i in range(n))
+    c = n * avg_degree / s
+    pairs = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("src"),
+        (F.col("id") % n).cast("long").alias("dst"),
+    ).where(F.col("src") < F.col("dst"))
+    wu = F.pow(F.col("src") + 1.0, -alpha) * c
+    wv = F.pow(F.col("dst") + 1.0, -alpha) * c
+    p = F.least(F.lit(1.0), wu * wv / F.lit(n * avg_degree))
+    edges = pairs.where(_unit_hash(F.col("src"), F.col("dst"), F.lit(seed)) < p)
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(edges.withColumn("weight", F.lit(1.0)), directed=False, vertices=verts)
+
+
+def watts_strogatz(
+    spark: SparkSession, n: int, k: int = 4, p: float = 0.1, seed: int = 42
+) -> Graph:
+    """Watts-Strogatz small world (``cpp/generators/
+    WattsStrogatzGenerator.cpp``): ring lattice (each node linked to the
+    next k/2 ids) with each edge's far endpoint rewired to a uniform
+    random node with probability p. One ``spark.range(n·k/2)`` scan.
+    """
+    half = max(1, k // 2)
+    base = spark.range(n * half).select(
+        (F.col("id") / half).cast("long").alias("src"),
+        (
+            ((F.col("id") / half).cast("long") + F.col("id") % half + 1) % n
+        ).alias("ring_dst"),
+    )
+    u_rewire = _unit_hash(F.col("src"), F.col("ring_dst"), F.lit(seed), F.lit(1))
+    u_target = _unit_hash(F.col("src"), F.col("ring_dst"), F.lit(seed), F.lit(2))
+    dst = F.when(
+        u_rewire < p, (u_target * n).cast("long")
+    ).otherwise(F.col("ring_dst").cast("long"))
+    edges = (
+        base.select(F.col("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(edges, directed=False, vertices=verts)
+
+
+def barabasi_albert_like(
+    spark: SparkSession, n: int, k: int = 3, seed: int = 42
+) -> Graph:
+    """BA-style preferential attachment (``cpp/generators/
+    BarabasiAlbertGenerator.cpp``). True PA is sequential (each edge
+    depends on the running degree sequence); the standard scalable
+    stand-in with the same stationary degree law is the *copying model*:
+    node i attaches its c-th edge to ``j = floor(i · u²)`` — quadratic
+    concentration toward early (high-degree) ids reproduces the rich-get-
+    richer tail without sequential state. Deterministic per (i, c, seed).
+    """
+    rows = spark.range(k, n * k).select(
+        (F.col("id") / k).cast("long").alias("src"),
+        (F.col("id") % k).alias("c"),
+    ).where(F.col("src") >= 1)
+    u = _unit_hash(F.col("src"), F.col("c"), F.lit(seed))
+    edges = (
+        rows.select(
+            "src", (F.pow(u, 2.0) * F.col("src")).cast("long").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(edges, directed=False, vertices=verts)
+
+
 def rmat_like(
     spark: SparkSession,
     scale: int = 14,

@@ -181,6 +181,75 @@ class Diameter(Algorithm):
         return self._lower, self._upper
 
 
+class APSP(Algorithm):
+    """All-pairs (or some-pairs) hop distances — ``cpp/distance/APSP.cpp``
+    runs one SSSP per source sequentially; ``SPSP.cpp`` restricts to a
+    source subset. Here all sources advance in ONE batched BFS: state
+    rows ``(source, id, dist)``, one join-agg per hop — O(diameter)
+    rounds regardless of source count, the per-round shuffle carries the
+    whole frontier so adding sources adds rows, not rounds.
+
+    At web scale all-pairs state is O(n·reachable) — use ``sources=`` for
+    the SPSP-style landmark subset (the scale path); all-pairs is the
+    test-scale / small-component path, same as the reference (APSP holds
+    an n×n matrix in memory).
+    """
+
+    def __init__(
+        self, graph: Graph, sources: list[int] | None = None, max_hops: int = 10_000
+    ) -> None:
+        super().__init__(graph)
+        self.sources = sources
+        self.max_hops = max_hops
+        self._dist: DataFrame | None = None
+
+    def _run(self) -> None:
+        g = self.graph
+        mat = Materializer()
+        nbrs = (
+            (g.edges if g.directed else g.symmetrized())
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        srcs = g.vertices.select(F.col("id").alias("source"))
+        if self.sources is not None:
+            spark = g.edges.sparkSession
+            wanted = spark.createDataFrame(
+                [(int(s),) for s in self.sources], "source long"
+            )
+            srcs = srcs.join(wanted, "source")
+        layer = mat.cut(
+            0, srcs.select("source", F.col("source").alias("id"))
+        )
+        visited = mat.cut(0, layer.withColumn("dist", F.lit(0)))
+        hop = 0
+        while hop < self.max_hops:
+            nxt = (
+                nbrs.join(layer.hint("shuffle_hash"), nbrs.src == layer.id)
+                .select("source", F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            )
+            nxt = mat.cut(hop + 1, nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            hop += 1
+            visited = mat.cut(
+                hop, visited.unionAll(nxt.withColumn("dist", F.lit(hop)))
+            )
+            layer = nxt
+        nbrs.unpersist()
+        self._dist = visited
+
+    def distances(self) -> DataFrame:
+        """``(source, id, dist)`` for reached pairs (unreachable pairs
+        absent — the reference stores ∞ there)."""
+        self.assure_finished()
+        return self._dist
+
+
 class EffectiveDiameterApproximation(Algorithm):
     """ANF sketch effective diameter
     (``cpp/distance/EffectiveDiameterApproximation.cpp:19-128``).
@@ -337,47 +406,45 @@ class Dijkstra(Algorithm):
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         nbrs = nbrs.repartition(shuffle_parts, "src").persist()
         mat = Materializer()
-        dist = spark.createDataFrame(
-            [(self.source, 0.0)], "id long, dist double"
+        merged = spark.createDataFrame(
+            [(self.source, 0.0, True)], "id long, dist double, changed boolean"
         )
-        dist = mat.cut(0, dist)
-        frontier = dist
+        merged = mat.cut(0, merged)
         rounds = 0
         while rounds < self.max_rounds:
             rounds += 1
+            # ONE materialization per round: relax the changed frontier,
+            # full-outer-merge onto the running distances, and flag strict
+            # improvements in the same plan (each checkpointed input is
+            # referenced once — single-reference rule, PLANS.md).
+            frontier = merged.where("changed").select("id", "dist")
             relaxed = (
                 nbrs.join(frontier.hint("shuffle_hash"), nbrs.src == frontier.id)
                 .groupBy(F.col("dst").alias("nid"))
                 .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
             )
-            relaxed = relaxed.localCheckpoint(eager=True)
-            # strict improvements only (dist may shrink repeatedly on
-            # weighted graphs, unlike hop-BFS)
-            improved = (
-                relaxed.join(dist, relaxed.nid == dist.id, "left")
-                .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-                .select(F.col("nid").alias("id"), F.col("cand").alias("dist"))
-            )
-            improved = mat.cut(rounds, improved)
-            if improved.limit(1).count() == 0:
-                break
-            dist = mat.cut(
+            prev = merged.select("id", "dist")
+            merged = mat.cut(
                 rounds,
-                dist.join(
-                    improved.select(F.col("id").alias("iid"), F.col("dist").alias("nd")),
-                    dist.id == F.col("iid"),
-                    "full",
-                ).select(
-                    F.coalesce("id", "iid").alias("id"),
-                    F.coalesce("nd", "dist").alias("dist"),
+                prev.join(relaxed, prev.id == relaxed.nid, "full").select(
+                    F.coalesce("id", "nid").alias("id"),
+                    F.least("dist", "cand").alias("dist"),
+                    # strict improvements only (dist may shrink repeatedly
+                    # on weighted graphs, unlike hop-BFS)
+                    F.coalesce(
+                        F.col("dist").isNull()
+                        | (F.col("cand") < F.col("dist")),
+                        F.lit(False),
+                    ).alias("changed"),
                 ),
             )
-            frontier = improved
+            if merged.where("changed").limit(1).count() == 0:
+                break
         else:
             raise RuntimeError(
                 f"Dijkstra did not converge in {self.max_rounds} rounds"
             )
-        self._dist = dist
+        self._dist = merged.select("id", "dist")
         nbrs.unpersist()
 
     def distances(self) -> DataFrame:

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
@@ -94,8 +94,6 @@ class PLP(Algorithm):
             labels = g.vertices.select("id", F.col("id").alias("label"))
         labels = mat.cut(0, labels, {"phase": "init"})
 
-        w_pick = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
-        w_dst = Window.partitionBy("dst")
         it = 0
         while self.max_iterations is None or it < self.max_iterations:
             t0 = time.time()
@@ -111,17 +109,26 @@ class PLP(Algorithm):
                     ).alias("own"),
                 )
             )
+            # heaviest label, ties → smallest = lexicographic min of
+            # (-w, label): a plain hash aggregation (map-side partial,
+            # no per-dst sort — a row_number window here would re-sort
+            # the histogram after its shuffle every round)
             cand = (
-                hist.withColumn(
-                    "old_label",
-                    F.max(F.when(F.col("own") == 1, F.col("label"))).over(w_dst),
+                hist.groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("w")).alias("nw"), F.col("label").alias("lbl")
+                        )
+                    ).alias("pick"),
+                    F.max(
+                        F.when(F.col("own") == 1, F.col("label"))
+                    ).alias("old_label"),
                 )
-                .withColumn("rn", F.row_number().over(w_pick))
-                .where(F.col("rn") == 1)
                 .select(
                     F.col("dst").alias("id"),
-                    "label",
-                    (F.col("label") != F.col("old_label")).alias("changed"),
+                    F.col("pick.lbl").alias("label"),
+                    (F.col("pick.lbl") != F.col("old_label")).alias("changed"),
                 )
             )
             # one materialization per round; the update count is a trivial

@@ -65,6 +65,50 @@ def degree_product_scores(graph: Graph) -> DataFrame:
     )
 
 
+def scan_similarity_scores(
+    graph: Graph, triangle_scores: DataFrame | None = None
+) -> DataFrame:
+    """``SCANStructuralSimilarityScore`` (``cpp/sparsification/
+    SCANStructuralSimilarityScore.cpp:10-16``): per canonical edge
+    ``score = (triangles(u,v) + 1) / sqrt((deg(u)+1) * (deg(v)+1))``.
+
+    The reference takes precomputed per-edge triangle counts (the
+    ``TriangleEdgeScore`` output); pass ``triangle_scores`` as
+    ``(u, v, score)`` to reuse one, else it is computed here. One
+    wedge-join (bounded by degree orientation) plus two degree joins —
+    the skew story is the orientation, exactly as in triangle counting.
+
+    Returns ``(u, v, score)`` over canonical edges.
+    """
+    if triangle_scores is None:
+        from networkit_spark.operators.triangles import TriangleEdgeScore
+
+        triangle_scores = TriangleEdgeScore(graph).run().edge_scores()
+    deg = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        triangle_scores.select("u", "v", F.col("score").alias("tri"))
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            (
+                (F.col("tri") + 1)
+                / F.sqrt((F.col("du") + 1) * (F.col("dv") + 1))
+            ).alias("score"),
+        )
+    )
+
+
 def local_degree_scores(graph: Graph) -> DataFrame:
     """``LocalDegreeScore`` (``cpp/sparsification/LocalDegreeScore.cpp:
     38-88``): per node i (degree d), rank its neighbors by degree

@@ -91,6 +91,42 @@ def test_streaming_exact_dedup_plan(spark):
     assert out.columns == ["content_hash", "ts"]
 
 
+def test_scan_similarity_scores(spark):
+    from networkit_spark.operators.sparsification import scan_similarity_scores
+
+    # triangle 0-1-2 plus pendant 2-3: deg 0,1=2; 2=3; 3=1
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    s = {(r["u"], r["v"]): r["score"] for r in scan_similarity_scores(g).collect()}
+    assert s[(0, 1)] == pytest.approx(2 / 3)  # (1+1)/sqrt(3*3)
+    assert s[(0, 2)] == pytest.approx(2 / (3 * 4) ** 0.5)
+    assert s[(2, 3)] == pytest.approx(1 / (4 * 2) ** 0.5)
+
+
+def test_generators_deterministic_and_shaped(spark):
+    from networkit_spark.generators import (
+        barabasi_albert_like,
+        chung_lu,
+        watts_strogatz,
+    )
+
+    cl = chung_lu(spark, 200, exponent=2.5, avg_degree=6.0, seed=7)
+    m1 = cl.number_of_edges()
+    m2 = chung_lu(spark, 200, exponent=2.5, avg_degree=6.0, seed=7).number_of_edges()
+    assert m1 == m2 and m1 > 0
+    # power-law-ish: node 0 (largest expected weight) outranks the median
+    deg = {r["id"]: r["out_deg"] for r in cl.degrees().collect()}
+    assert deg.get(0, 0) >= sorted(deg.values())[len(deg) // 2]
+
+    ws = watts_strogatz(spark, 100, k=4, p=0.1, seed=7)
+    n_edges = ws.number_of_edges()
+    # ring keeps ~n*k/2 edges; rewiring only dedups/self-loops a few
+    assert 100 * 2 * 0.85 <= n_edges <= 100 * 2
+    ba = barabasi_albert_like(spark, 300, k=3, seed=7)
+    bdeg = {r["id"]: r["out_deg"] for r in ba.degrees().collect()}
+    # rich-get-richer: early nodes dominate the tail
+    assert max(bdeg, key=bdeg.get) < 30
+
+
 def test_minimum_spanning_forest(spark):
     from networkit_spark.operators.spanning import (
         MinimumSpanningForest,
