@@ -350,3 +350,215 @@ def write_gml(graph: Graph, path: str) -> None:
                 f"  edge [\n    source {r['src']}\n    target {r['dst']}\n  ]\n"
             )
         f.write("]\n")
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """``GraphMLSAX`` reader (``networkit/GraphMLIO.py:10-90``): nodes
+    mapped to dense 0-based ids in document order; ``edgedefault=
+    "directed"`` sets directedness; a ``<key for="edge" attr.name=
+    "weight" attr.type="double">`` declaration makes the graph weighted,
+    with per-edge ``<data key=...>`` values (driver-side fixture parse,
+    like the reference's pure-Python reader)."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+
+    def _findall(root, tag):
+        return root.findall(f"g:{tag}", ns) or root.findall(tag)
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    weight_key = None
+    for k in _findall(root, "key"):
+        if (
+            k.get("for") == "edge"
+            and k.get("attr.name") == "weight"
+            and k.get("attr.type") == "double"
+        ):
+            weight_key = k.get("id")
+    graph_el = _findall(root, "graph")[0]
+    directed = graph_el.get("edgedefault") == "directed"
+    mapping: dict[str, int] = {}
+    for node in _findall(graph_el, "node"):
+        mapping[node.get("id")] = len(mapping)
+    rows = []
+    for edge in _findall(graph_el, "edge"):
+        u = mapping[edge.get("source")]
+        v = mapping[edge.get("target")]
+        w = DEFAULT_EDGE_WEIGHT
+        if weight_key is not None:
+            for d in _findall(edge, "data"):
+                if d.get("key") == weight_key and d.text:
+                    w = float(d.text)
+        rows.append((u, v, w))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(len(mapping))], "id long"
+    ) if mapping else None
+    return Graph(
+        edges, directed=directed, weighted=weight_key is not None,
+        vertices=vertices,
+    )
+
+
+def write_graphml(graph: Graph, path: str) -> None:
+    """``GraphMLWriter`` (``networkit/GraphMLIO.py:93-140``): nodes as
+    ``n{id}``, weight emitted via a ``d1`` key when weighted."""
+    base = graph.edges if graph.directed else graph.canonical()
+    kind = "directed" if graph.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+        if graph.weighted:
+            f.write(
+                '  <key id="d1" for="edge" attr.name="weight"'
+                ' attr.type="double"/>\n'
+            )
+        f.write(f'  <graph id="G" edgedefault="{kind}">\n')
+        for r in graph.vertices.orderBy("id").collect():
+            f.write(f'    <node id="n{r["id"]}"/>\n')
+        for r in base.select("src", "dst", "weight").collect():
+            if graph.weighted:
+                f.write(
+                    f'    <edge source="n{r["src"]}" target="n{r["dst"]}">'
+                    f'<data key="d1">{r["weight"]}</data></edge>\n'
+                )
+            else:
+                f.write(
+                    f'    <edge source="n{r["src"]}" target="n{r["dst"]}"/>\n'
+                )
+        f.write("  </graph>\n</graphml>\n")
+
+
+def read_gexf(spark: SparkSession, path: str) -> Graph:
+    """``GEXFReader`` (``networkit/GEXFIO.py``): ``<graph defaultedgetype
+    ="directed">``; node ids mapped to dense 0-based ids in document
+    order; per-edge ``weight`` attribute when present."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    def _local(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    graph_el = nodes_el = edges_el = None
+    for el in root.iter():
+        name = _local(el)
+        if name == "graph" and graph_el is None:
+            graph_el = el
+        elif name == "nodes" and nodes_el is None:
+            nodes_el = el
+        elif name == "edges" and edges_el is None:
+            edges_el = el
+    directed = (
+        graph_el is not None
+        and graph_el.get("defaultedgetype") == "directed"
+    )
+    mapping: dict[str, int] = {}
+    if nodes_el is not None:
+        for node in nodes_el:
+            if _local(node) == "node":
+                mapping[node.get("id")] = len(mapping)
+    rows, weighted = [], False
+    if edges_el is not None:
+        for edge in edges_el:
+            if _local(edge) != "edge":
+                continue
+            u = mapping[edge.get("source")]
+            v = mapping[edge.get("target")]
+            w = edge.get("weight")
+            if w is not None:
+                weighted = True
+            rows.append((u, v, float(w) if w is not None else DEFAULT_EDGE_WEIGHT))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(len(mapping))], "id long"
+    ) if mapping else None
+    return Graph(edges, directed=directed, weighted=weighted, vertices=vertices)
+
+
+def write_gexf(graph: Graph, path: str) -> None:
+    """``GEXFWriter`` (``networkit/GEXFIO.py``) — minimal static graph."""
+    base = graph.edges if graph.directed else graph.canonical()
+    kind = "directed" if graph.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
+        f.write(f'  <graph defaultedgetype="{kind}">\n    <nodes>\n')
+        for r in graph.vertices.orderBy("id").collect():
+            f.write(f'      <node id="{r["id"]}"/>\n')
+        f.write("    </nodes>\n    <edges>\n")
+        for i, r in enumerate(base.select("src", "dst", "weight").collect()):
+            wattr = f' weight="{r["weight"]}"' if graph.weighted else ""
+            f.write(
+                f'      <edge id="{i}" source="{r["src"]}"'
+                f' target="{r["dst"]}"{wattr}/>\n'
+            )
+        f.write("    </edges>\n  </graph>\n</gexf>\n")
+
+
+def read_dgs(spark: SparkSession, path: str, mapped: bool = True,
+             base_index: int = 0) -> DataFrame:
+    """``DGSStreamParser`` (``cpp/dynamics/DGSStreamParser.cpp:17-140``):
+    parse a DGS004 event file into an ordered event DataFrame
+    ``(seq, etype, u, v, w)`` consumable by
+    :func:`networkit_spark.streaming.events.apply_events` (one batch) or
+    replayed in ``st``-delimited batches via
+    :class:`~networkit_spark.streaming.events.GraphUpdater`.
+
+    ``mapped=True`` maps arbitrary string keys to dense 0-based ids in
+    first-seen order (the reference's mapped mode); otherwise ids are
+    ``int(key) - base_index``.
+    """
+    key2id: dict[str, int] = {}
+
+    def _map(key: str) -> int:
+        if not mapped:
+            return int(key) - base_index
+        if key not in key2id:
+            key2id[key] = len(key2id)
+        return key2id[key]
+
+    def _wval(tok: str) -> float:
+        return float(tok.split("=", 1)[1])
+
+    rows = []
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("DGS004"):
+            raise ValueError("expected DGS004 cookie in first line")
+        f.readline()  # stream description line
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "st":
+                rows.append(("TIME_STEP", None, None, None))
+            elif tag == "an":
+                rows.append(("NODE_ADDITION", _map(parts[1]), None, None))
+            elif tag == "dn":
+                rows.append(("NODE_REMOVAL", _map(parts[1]), None, None))
+            elif tag == "rn":
+                rows.append(("NODE_RESTORATION", _map(parts[1]), None, None))
+            elif tag == "ae":
+                w = _wval(parts[4]) if len(parts) >= 5 else 1.0
+                rows.append(
+                    ("EDGE_ADDITION", _map(parts[2]), _map(parts[3]), w)
+                )
+            elif tag in ("ce", "ie", "de"):
+                u_key, v_key = parts[1].split("-", 1)
+                etype = {
+                    "ce": "EDGE_WEIGHT_UPDATE",
+                    "ie": "EDGE_WEIGHT_INCREMENT",
+                    "de": "EDGE_REMOVAL",
+                }[tag]
+                w = _wval(parts[2]) if len(parts) >= 3 else None
+                rows.append((etype, _map(u_key), _map(v_key), w))
+            else:
+                raise ValueError(f"malformed DGS line: {line!r}")
+    return spark.createDataFrame(
+        [(i,) + r for i, r in enumerate(rows)],
+        "seq long, etype string, u long, v long, w double",
+    )

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from networkit_spark import Graph
@@ -185,3 +187,73 @@ def test_write_snap_dot(spark, tmp_path):
     gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
     write_dot(gd, str(dp))
     assert "digraph" in dp.read_text() and "0 -> 1;" in dp.read_text()
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_graphml, write_graphml
+
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 1, 2.5), (1, 2, 1.0)], "src long, dst long, weight double"
+        ),
+        directed=False,
+        weighted=True,
+        vertices=spark.createDataFrame([(0,), (1,), (2,)], "id long"),
+    )
+    p = tmp_path / "g.graphml"
+    write_graphml(g, str(p))
+    back = read_graphml(spark, str(p))
+    assert not back.directed and back.weighted
+    assert {(r["src"], r["dst"], r["weight"]) for r in back.canonical().collect()} == {
+        (0, 1, 2.5), (1, 2, 1.0)
+    }
+    gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
+    write_graphml(gd, str(p))
+    assert read_graphml(spark, str(p)).directed
+
+
+def test_gexf_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_gexf, write_gexf
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=4, directed=True)
+    p = tmp_path / "g.gexf"
+    write_gexf(g, str(p))
+    back = read_gexf(spark, str(p))
+    assert back.directed and back.number_of_nodes() == 4
+    assert {(r["src"], r["dst"]) for r in back.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_read_dgs_events(spark, tmp_path):
+    from networkit_spark.sources.io import read_dgs
+    from networkit_spark.streaming.events import apply_events
+
+    p = tmp_path / "s.dgs"
+    p.write_text(
+        "DGS004\nnull 0 0\n"
+        "an A\nan B\nan C\n"
+        "ae e1 A B\nae e2 B C weight=3.0\n"
+        "st\n"
+        "ce A-B weight=2.0\nde B-C\n"
+    )
+    ev = read_dgs(spark, str(p))
+    rows = [tuple(r) for r in ev.orderBy("seq").collect()]
+    assert rows[0] == (0, "NODE_ADDITION", 0, None, None)
+    assert rows[3] == (3, "EDGE_ADDITION", 0, 1, 1.0)
+    assert rows[4] == (4, "EDGE_ADDITION", 1, 2, 3.0)
+    assert rows[5][1] == "TIME_STEP"
+    assert rows[6] == (6, "EDGE_WEIGHT_UPDATE", 0, 1, 2.0)
+    assert rows[7] == (7, "EDGE_REMOVAL", 1, 2, None)
+    # replay onto an empty graph: A-B at weight 2.0 survives
+    g0 = Graph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        directed=False,
+        weighted=True,
+    )
+    g1 = apply_events(g0, ev)
+    assert [tuple(r) for r in g1.edges.select("src", "dst", "weight").collect()] == [
+        (0, 1, 2.0)
+    ]
+    bad = tmp_path / "bad.dgs"
+    bad.write_text("DGS000\n")
+    with pytest.raises(ValueError):
+        read_dgs(spark, str(bad))
