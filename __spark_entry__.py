@@ -830,6 +830,86 @@ FROM tri t JOIN sdeg du ON du.id = t.u JOIN sdeg dv ON dv.id = t.v
 """
 
 
+def q_local_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalSimilarityScore (LocalSimilarityScore.cpp:17-66): ordinal
+    per-node rank of neighbor Jaccard similarity, max over endpoints."""
+    from networkit_spark.operators.sparsification import local_similarity_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return local_similarity_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_local_similarity_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_ORIENTED},
+epairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c) AS u, greatest(a, c) AS v FROM tris
+  UNION ALL SELECT least(b, c) AS u, greatest(b, c) AS v FROM tris
+),
+tri AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, coalesce(p.cnt, 0) AS tri
+  FROM edges e
+  LEFT JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
+    ON p.u = e.src AND p.v = e.dst
+),
+sdeg AS (SELECT src AS id, count(DISTINCT dst) AS d FROM sym WHERE src <> dst GROUP BY src),
+both_dir AS (
+  SELECT u, v, tri FROM tri
+  UNION ALL SELECT v AS u, u AS v, tri FROM tri
+),
+simmed AS (
+  SELECT b.u, b.v, di.d AS di,
+         CAST(b.tri AS DOUBLE) / (di.d + dj.d - b.tri) AS sim
+  FROM both_dir b JOIN sdeg di ON di.id = b.u JOIN sdeg dj ON dj.id = b.v
+),
+ranked AS (
+  SELECT u, v, di,
+         row_number() OVER (PARTITION BY u ORDER BY sim DESC, v ASC) AS rnk
+  FROM simmed
+),
+scored AS (
+  SELECT least(u, v) AS cu, greatest(u, v) AS cv,
+         CASE WHEN di <= 1 THEN 1.0 ELSE 1.0 - ln(rnk) / ln(di) END AS e
+  FROM ranked
+)
+SELECT cu AS u, cv AS v, round(max(e), 6) AS score
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiscaleScore (MultiscaleScore.cpp:14-62): per-endpoint
+    1-(1-w/Σw)^(k-1) significance, max over endpoints."""
+    from networkit_spark.operators.sparsification import multiscale_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return multiscale_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_multiscale_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj AS (SELECT src, dst, weight FROM sym WHERE src <> dst),
+pn AS (
+  SELECT src AS id, sum(weight) AS wsum, count(*) AS k FROM adj GROUP BY src
+),
+sig AS (
+  SELECT a.src, a.dst,
+         1.0 - pow(1.0 - a.weight / p.wsum, p.k - 1) AS prob
+  FROM adj a JOIN pn p ON p.id = a.src
+)
+SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+       round(max(prob), 6) AS score
+FROM sig GROUP BY 1, 2
+"""
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction indices over a deterministic pair sample (every
     canonical edge with (src+dst) % 7 == 0 — predicts existing links)."""
@@ -1648,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_filter": q_triangle_filter,
         "local_degree": q_local_degree,
         "scan_similarity": q_scan_similarity,
+        "local_similarity": q_local_similarity,
+        "multiscale": q_multiscale,
         "link_prediction": q_link_prediction,
         "eigenvector": q_eigenvector,
         "assortativity": q_assortativity,
@@ -1694,6 +1776,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_filter": q_triangle_filter_sql(),
         "local_degree": q_local_degree_sql(),
         "scan_similarity": q_scan_similarity_sql(),
+        "local_similarity": q_local_similarity_sql(),
+        "multiscale": q_multiscale_sql(),
         "link_prediction": q_link_prediction_sql(),
         "eigenvector": q_eigenvector_sql(),
         "assortativity": q_assortativity_sql(),

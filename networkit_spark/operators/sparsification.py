@@ -172,3 +172,101 @@ def local_degree_scores(graph: Graph) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.max("e").alias("score"))
     )
+
+
+def local_similarity_scores(
+    graph: Graph, triangle_scores: DataFrame | None = None
+) -> DataFrame:
+    """``LocalSimilarityScore`` (``cpp/sparsification/
+    LocalSimilarityScore.cpp:17-66``): per node i, rank neighbors by
+    similarity ``sim = tri(i,j) / (deg(i) + deg(j) - tri(i,j))``
+    descending (ties → smaller neighbor id first, the
+    ``AttributizedEdge`` comparator, ``LocalSimilarityScore.hpp:26-29``),
+    ordinal rank; per-endpoint exponent ``e = 1`` if ``deg(i) <= 1``
+    else ``1 - log(rank)/log(deg(i))``; the edge keeps the max over both
+    endpoints.
+
+    The ordinal rank is a per-node window — the same per-node neighbor
+    sort the reference does; at web scale a 10^8-degree hub serializes
+    one window partition, so hub rows should be handled via the
+    two-stage distinct-value ranking of :func:`local_degree_scores` if
+    similarity values are discretized. Returns ``(u, v, score)``.
+    """
+    from pyspark.sql import Window
+
+    if triangle_scores is None:
+        from networkit_spark.operators.triangles import TriangleEdgeScore
+
+        triangle_scores = TriangleEdgeScore(graph).run().edge_scores()
+    deg = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = triangle_scores.select("u", "v", F.col("score").alias("tri"))
+    # both directions: each endpoint ranks the edge in its own list
+    both = tri.unionAll(
+        tri.select(F.col("v").alias("u"), F.col("u").alias("v"), "tri")
+    )
+    di = deg.select(F.col("id").alias("u"), F.col("d").alias("di"))
+    dj = deg.select(F.col("id").alias("v"), F.col("d").alias("dj"))
+    j = both.join(di, "u").join(dj, "v").withColumn(
+        "sim",
+        F.col("tri") / (F.col("di") + F.col("dj") - F.col("tri")),
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("sim"), F.asc("v"))
+    ranked = j.withColumn("rnk", F.row_number().over(w))
+    e = F.when(F.col("di") <= 1, F.lit(1.0)).otherwise(
+        1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("di").cast("double"))
+    )
+    return (
+        ranked.select(
+            F.least("u", "v").alias("cu"),
+            F.greatest("u", "v").alias("cv"),
+            e.alias("e"),
+        )
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(F.max("e").alias("score"))
+    )
+
+
+def multiscale_scores(graph: Graph) -> DataFrame:
+    """``MultiscaleScore`` (``cpp/sparsification/MultiscaleScore.cpp:
+    14-62``): per endpoint u with degree k, normalize the edge weight
+    within N(u) (``p = w / Σ_{v∈N(u)} w``); the edge's significance from
+    u's side is ``1 - (1 - p)^(k-1)``; keep the max over both endpoints.
+    Pure hash aggregations — per-node sums then a join, no windows, so
+    hub degrees stream through partial aggregation. Returns
+    ``(u, v, score)`` over canonical edges.
+    """
+    sym = (
+        graph.symmetrized()
+        .select("src", "dst", "weight")
+        .where(F.col("src") != F.col("dst"))
+    )
+    per_node = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wsum"), F.count(F.lit(1)).alias("k")
+    )
+    j = sym.join(per_node, sym.src == per_node.id).select(
+        "src",
+        "dst",
+        (
+            1.0
+            - F.pow(
+                1.0 - F.col("weight") / F.col("wsum"),
+                (F.col("k") - 1).cast("double"),
+            )
+        ).alias("p"),
+    )
+    return (
+        j.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "p",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("p").alias("score"))
+    )

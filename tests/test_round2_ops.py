@@ -151,3 +151,39 @@ def test_minimum_spanning_forest(spark):
 
     sf = SpanningForest(g).run()
     assert len(sf.get_forest().collect()) == 4
+
+
+def test_local_similarity_scores(spark):
+    from networkit_spark.operators.sparsification import local_similarity_scores
+
+    # triangle 0-1-2 plus pendant 2-3 (deg 0,1=2; 2=3; 3=1)
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    s = {(r["u"], r["v"]): r["score"] for r in local_similarity_scores(g).collect()}
+    # edge (2,3): tri=0, sim=0 from both sides; node 3 has d=1 -> e=1.0
+    assert s[(2, 3)] == pytest.approx(1.0)
+    # edge (0,1): tri=1, sim from 0's side = 1/(2+2-1)=1/3; from 2's list
+    # edges (0,2),(1,2) have sim 1/(2+3-1)=0.25 -> ranks at node 0:
+    # (0,1) sim 1/3 rank 1 -> e=1; so max = 1.0
+    assert s[(0, 1)] == pytest.approx(1.0)
+    # edge (0,2): node0 ranks it 2nd of d=2 -> e=0; node2 ranks (0,2) 1st
+    # (sim .25 ties with (1,2), tie->smaller v=0 first) of d=3 -> e=1
+    assert s[(0, 2)] == pytest.approx(1.0)
+    # edge (1,2): node1 rank2/d2 -> 0; node2 rank2/d3 -> 1-ln2/ln3
+    import math
+
+    assert s[(1, 2)] == pytest.approx(1 - math.log(2) / math.log(3))
+
+
+def test_multiscale_scores(spark):
+    from networkit_spark.operators.sparsification import multiscale_scores
+
+    # star center 0 with leaves 1,2 at weights 3,1
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    g = Graph(edges, directed=False, weighted=True)
+    s = {(r["u"], r["v"]): r["score"] for r in multiscale_scores(g).collect()}
+    # from 0 (k=2, wsum=4): p(0,1)=1-(1-.75)^1=.75 ; p(0,2)=1-(1-.25)^1=.25
+    # from leaves (k=1): 1-(1-1)^0 = 0 -> max stays with center's view
+    assert s[(0, 1)] == pytest.approx(0.75)
+    assert s[(0, 2)] == pytest.approx(0.25)
