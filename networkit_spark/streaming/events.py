@@ -202,3 +202,98 @@ def streaming_component_refresh(
             dyn.update(batch_df)
 
     return dyn, sink
+
+
+def streaming_vertex_sessions(
+    events: DataFrame,
+    gap_seconds: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Per-vertex activity sessionization — a CUSTOM stateful operator
+    via ``applyInPandasWithState`` (the piece of the streaming surface
+    Spark's built-ins don't cover; the reference has no analog — its
+    dynamics are batch-incremental, SURVEY §2.10).
+
+    Groups the event stream by source vertex ``u``; state per vertex =
+    the open session ``(start, last, n_events)``. An event more than
+    ``gap_seconds`` after the previous one closes the session and emits
+    ``(id, session_start, session_end, events)``; event-time timeout
+    flushes sessions whose vertex goes quiet past the watermark. Use on
+    crawl/link streams to find vertices with bursty edge churn (hub
+    hotspots) without materializing per-event state downstream.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (vid,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "id": [vid],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
+                        "events": [n],
+                    }
+                )
+            return
+        ts_us = []
+        for pdf in pdf_iter:
+            ts_us.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_us.sort()
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        out = {"id": [], "session_start": [], "session_end": [], "events": []}
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out["id"].append(vid)
+                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                out["events"].append(n)
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if out["id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("u")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -177,3 +177,43 @@ def test_dyn_connected_components(spark):
     a = {(r["id"], r["label"]) for r in dyn.get_partition().collect()}
     b = {(r["id"], r["label"]) for r in fresh.collect()}
     assert a == b
+
+
+def test_streaming_vertex_sessions(spark, tmp_path):
+    from networkit_spark.streaming.events import (
+        read_event_stream,
+        streaming_vertex_sessions,
+    )
+
+    src_dir = str(tmp_path / "sess_events")
+    os.makedirs(src_dir)
+    rows = [
+        # vertex 0: two bursts separated by > 30s gap -> first closes
+        {"ts": "2024-01-01T00:00:00.000Z", "etype": "EDGE_ADDITION", "u": 0, "v": 1, "w": 1.0},
+        {"ts": "2024-01-01T00:00:05.000Z", "etype": "EDGE_ADDITION", "u": 0, "v": 2, "w": 1.0},
+        {"ts": "2024-01-01T00:10:00.000Z", "etype": "EDGE_ADDITION", "u": 0, "v": 3, "w": 1.0},
+        # vertex 1: single open session (never closed in this batch)
+        {"ts": "2024-01-01T00:00:01.000Z", "etype": "EDGE_ADDITION", "u": 1, "v": 2, "w": 1.0},
+    ]
+    with open(os.path.join(src_dir, "batch0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    q = (
+        streaming_vertex_sessions(read_event_stream(spark, src_dir), gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("vertex_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["events"])
+        for r in spark.sql("SELECT * FROM vertex_sessions").collect()
+    }
+    # vertex 0's first burst (2 events) closed by the 10-minute gap;
+    # vertex 1's lone session closed by event-time TIMEOUT once the
+    # watermark (max ts - 1 min) passed its gap deadline
+    assert (0, 2) in got
+    assert (1, 1) in got
