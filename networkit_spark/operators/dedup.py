@@ -157,12 +157,17 @@ def minhash_candidates(
     handled as groups, not pairs.
     """
     bk = lsh_buckets(sig, bands, rows_per_band)
-    sized = bk.groupBy("band", "key").agg(
-        F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("sz")
+    # size first with a COUNT (map-side partial agg — safe for any
+    # bucket size), never collect_list: a degenerate bucket would
+    # otherwise materialize its whole member array in one reducer
+    # before the size guard could drop it
+    sized = bk.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    ok = sized.where((F.col("sz") > 1) & (F.col("sz") <= max_bucket)).select(
+        "band", "key"
     )
-    ok = sized.where((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
-    lhs = ok.select("band", "key", F.explode("ids").alias("a"))
-    rhs = ok.select("band", "key", F.explode("ids").alias("b"))
+    kept = bk.join(ok, ["band", "key"])
+    lhs = kept.select("band", "key", F.col("doc_id").alias("a"))
+    rhs = kept.select("band", "key", F.col("doc_id").alias("b"))
     return (
         lhs.join(rhs, ["band", "key"])
         .where(F.col("a") < F.col("b"))

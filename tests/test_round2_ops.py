@@ -187,3 +187,24 @@ def test_multiscale_scores(spark):
     # from leaves (k=1): 1-(1-1)^0 = 0 -> max stays with center's view
     assert s[(0, 1)] == pytest.approx(0.75)
     assert s[(0, 2)] == pytest.approx(0.25)
+
+
+def test_salted_skew_helpers_match_unsalted(spark):
+    from networkit_spark.plans.skew import salted_count_distinct, salted_gather_join
+
+    # hub key 0 with many values incl. repeats
+    rows = [(0, v % 37) for v in range(500)] + [(1, 5), (1, 6), (2, 5)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["distinct_count"]
+        for r in salted_count_distinct(df, ["k"], "v", n_salts=8).collect()
+    }
+    assert got == {0: 37, 1: 2, 2: 1}
+
+    big = spark.createDataFrame(
+        [(0, i) for i in range(200)] + [(1, 999)], "key long, payload long"
+    )
+    small = spark.createDataFrame([(0, "hub"), (1, "cold")], "id long, tag string")
+    out = salted_gather_join(big, small, "key", "id", n_salts=4)
+    assert out.count() == 201
+    assert out.where("tag = 'cold'").count() == 1
