@@ -36,7 +36,10 @@ from networkit_spark.operators.pagerank import (
 )
 from networkit_spark.operators.kcore import CoreDecomposition
 from networkit_spark.operators.distance import (
+    APSP,
     BFS,
+    Diameter,
+    Dijkstra,
     EffectiveDiameterApproximation,
 )
 from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
@@ -51,6 +54,12 @@ from networkit_spark.operators.betweenness import (
     TopCloseness,
     TopHarmonicCloseness,
 )
+from networkit_spark.operators.correlation import Assortativity
+from networkit_spark.operators.dyncomponents import DynConnectedComponents
+from networkit_spark.operators.spanning import (
+    MinimumSpanningForest,
+    SpanningForest,
+)
 
 __all__ = [
     "ApproxBetweenness",
@@ -60,8 +69,15 @@ __all__ = [
     "HarmonicCloseness",
     "TopCloseness",
     "TopHarmonicCloseness",
+    "APSP",
+    "Assortativity",
     "BFS",
     "CoreDecomposition",
+    "Diameter",
+    "Dijkstra",
+    "DynConnectedComponents",
+    "MinimumSpanningForest",
+    "SpanningForest",
     "EffectiveDiameterApproximation",
     "ParallelPartitionCoarsening",
     "PLM",
