@@ -183,7 +183,10 @@ LEFT JOIN (SELECT dst AS id, count(*) AS in_deg, sum(weight) AS w_in_deg
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = directed_graph(spark, sf_dir)
-    pr = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=PR_ITERS).run()
+    pr = PageRank(
+        g, damp=0.85, tol=0.0, norm="l1", max_iterations=PR_ITERS,
+        unroll=PR_ITERS,
+    ).run()
     return pr.scores().select("id", F.round("score", 8).alias("score"))
 
 
@@ -601,7 +604,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.kcore import CoreDecomposition
 
     g = undirected_graph(spark, sf_dir)
-    cd = CoreDecomposition(g).run()
+    cd = CoreDecomposition(g, unroll=4).run()
     return cd.core_numbers().select("id", "core")
 
 
@@ -1329,7 +1332,7 @@ def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark import EigenvectorCentrality
 
     g = directed_graph(spark, sf_dir)
-    ev = EigenvectorCentrality(g, tol=0.0, max_iterations=5).run()
+    ev = EigenvectorCentrality(g, tol=0.0, max_iterations=5, unroll=5).run()
     return ev.scores().select("id", F.round("score", 8).alias("score"))
 
 
@@ -1357,6 +1360,48 @@ WITH {_sql_directed(V_BIG)},
 ev0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes),
 {steps_sql}
 SELECT id, round(rank, 8) AS score FROM ev5
+"""
+
+
+_KATZ_ALPHA = 0.01
+_KATZ_BETA = 0.1
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 5 fixed rounds with explicit alpha/beta (so the
+    unrolled SQL oracle is exact; reference recurrence
+    ``KatzCentrality.cpp:15-77``)."""
+    from networkit_spark import KatzCentrality
+
+    g = directed_graph(spark, sf_dir)
+    kz = KatzCentrality(
+        g, alpha=_KATZ_ALPHA, beta=_KATZ_BETA, tol=0.0, max_iterations=5,
+        unroll=5,
+    ).run()
+    return kz.scores().select("id", F.round("score", 8).alias("score"))
+
+
+def q_katz_sql() -> str:
+    steps = []
+    for k in range(1, 6):
+        steps.append(
+            f"""kz{k} AS MATERIALIZED (
+  SELECT n.id, {_KATZ_ALPHA} * coalesce(s.msum, 0) + {_KATZ_BETA} AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS id, sum((1.0 + p.rank) * e.weight) AS msum
+    FROM kz{k - 1} p JOIN edges e ON e.src = p.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_sql_directed(V_BIG)},
+kz0 AS (SELECT id, 0.0 AS rank FROM nodes),
+{steps_sql}
+SELECT id, round(rank / (SELECT sqrt(sum(rank * rank)) FROM kz5), 8) AS score
+FROM kz5
 """
 
 
@@ -1732,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiscale": q_multiscale,
         "link_prediction": q_link_prediction,
         "eigenvector": q_eigenvector,
+        "katz": q_katz,
         "assortativity": q_assortativity,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
@@ -1780,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "multiscale": q_multiscale_sql(),
         "link_prediction": q_link_prediction_sql(),
         "eigenvector": q_eigenvector_sql(),
+        "katz": q_katz_sql(),
         "assortativity": q_assortativity_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),

@@ -55,7 +55,10 @@ from networkit_spark.operators.betweenness import (
     TopHarmonicCloseness,
 )
 from networkit_spark.operators.correlation import Assortativity
-from networkit_spark.operators.dyncomponents import DynConnectedComponents
+from networkit_spark.operators.dyncomponents import (
+    DynConnectedComponents,
+    DynWeaklyConnectedComponents,
+)
 from networkit_spark.operators.spanning import (
     MinimumSpanningForest,
     SpanningForest,
@@ -76,6 +79,7 @@ __all__ = [
     "Diameter",
     "Dijkstra",
     "DynConnectedComponents",
+    "DynWeaklyConnectedComponents",
     "MinimumSpanningForest",
     "SpanningForest",
     "EffectiveDiameterApproximation",

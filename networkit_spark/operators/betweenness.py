@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm, Centrality
-from networkit_spark.plans.iterate import Materializer
+from networkit_spark.plans.iterate import Materializer, local_cut
 
 
 class ApproxBetweenness(Centrality):
@@ -90,7 +90,7 @@ class ApproxBetweenness(Centrality):
             .persist()
         )
         n = g.number_of_nodes()
-        sources = self._sources().localCheckpoint(eager=True)
+        sources = self._sources().transform(local_cut)
         k = sources.count()
 
         # ---------- forward: batched BFS layers with path counts σ
@@ -117,7 +117,7 @@ class ApproxBetweenness(Centrality):
                 .groupBy("source", F.col("dst").alias("nid"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            gathered = gathered.localCheckpoint(eager=True)
+            gathered = gathered.transform(local_cut)
             nxt = (
                 gathered.join(
                     visited.select("source", F.col("id").alias("nid")),
@@ -164,7 +164,7 @@ class ApproxBetweenness(Centrality):
                     "sigma",
                     F.coalesce("delta", F.lit(0.0)).alias("delta"),
                 )
-            upper_state = upper_state.localCheckpoint(eager=True)
+            upper_state = upper_state.transform(local_cut)
             lower = layers[d - 1]
             contrib = (
                 nbrs.join(
@@ -192,10 +192,10 @@ class ApproxBetweenness(Centrality):
                     ).alias("delta")
                 )
             )
-            deltas = contrib.localCheckpoint(eager=True)
+            deltas = contrib.transform(local_cut)
             per_node = deltas.where(F.col("id") != F.col("source"))
             acc = per_node if acc is None else acc.unionAll(per_node)
-            acc = acc.localCheckpoint(eager=True)
+            acc = acc.transform(local_cut)
 
         spark = g.edges.sparkSession
         if acc is None:
@@ -317,7 +317,7 @@ class Closeness(Centrality):
                 F.count(F.lit(1)).alias("reached"),
             )
             sums = inc if sums is None else sums.unionAll(inc)
-            sums = sums.localCheckpoint(eager=True)
+            sums = sums.transform(local_cut)
             visited = mat.cut(d, visited.unionAll(nxt))
             layer = nxt
         nbrs.unpersist()
@@ -388,7 +388,7 @@ class TopCloseness(Algorithm):
             algo.scores()
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(self.k)
-            .localCheckpoint(eager=True)
+            .transform(local_cut)
         )
 
     def topk(self) -> DataFrame:
@@ -431,7 +431,7 @@ def harmonic_closeness(graph: Graph, n_samples: int | None = None, seed: int = 4
         .distinct()
         .persist()
     )
-    sources = bc._sources().localCheckpoint(eager=True)
+    sources = bc._sources().transform(local_cut)
     k = sources.count()
     n = g.number_of_nodes()
     layer = mat.cut(
@@ -455,7 +455,7 @@ def harmonic_closeness(graph: Graph, n_samples: int | None = None, seed: int = 4
         # source s at distance d from node id contributes 1/d to h(id)
         inc = nxt.groupBy("id").agg((F.count(F.lit(1)) / d).alias("h"))
         harm = inc if harm is None else harm.unionAll(inc)
-        harm = harm.localCheckpoint(eager=True)
+        harm = harm.transform(local_cut)
         visited = mat.cut(d, visited.unionAll(nxt))
         layer = nxt
     nbrs.unpersist()

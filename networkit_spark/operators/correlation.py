@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.iterate import local_cut
 from networkit_spark.operators.base import Algorithm
 
 
@@ -78,7 +79,7 @@ class Assortativity(Algorithm):
             return
         eij = typed.groupBy("lu", "lv").agg(
             (F.count(F.lit(1)) / F.lit(float(m))).alias("e")
-        ).localCheckpoint(eager=True)
+        ).transform(local_cut)
         diag = (
             eij.where(F.col("lu") == F.col("lv")).agg(F.sum("e")).collect()[0][0]
             or 0.0

@@ -34,8 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.iterate import local_cut
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.operators.components import ConnectedComponents
+from networkit_spark.operators.components import (
+    ConnectedComponents,
+    WeaklyConnectedComponents,
+)
 from networkit_spark.streaming.events import (
     EDGE_ADDITION,
     EDGE_REMOVAL,
@@ -43,6 +47,14 @@ from networkit_spark.streaming.events import (
     NODE_REMOVAL,
     apply_events,
 )
+
+
+def _fresh_components(graph: Graph):
+    """Static-components dispatch for (re)computations inside the
+    dynamic maintainers: weakly-connected kernel on directed graphs."""
+    if graph.directed:
+        return WeaklyConnectedComponents(graph)
+    return ConnectedComponents(graph)
 
 
 class DynConnectedComponents(Algorithm):
@@ -56,8 +68,8 @@ class DynConnectedComponents(Algorithm):
         self._labels: DataFrame | None = None
 
     def _run(self) -> None:
-        cc = ConnectedComponents(self.graph).run()
-        self._labels = cc.get_partition().localCheckpoint(eager=True)
+        cc = _fresh_components(self.graph).run()
+        self._labels = cc.get_partition().transform(local_cut)
 
     # ------------------------------------------------------------- updates
     def update(self, events: DataFrame) -> None:
@@ -89,7 +101,7 @@ class DynConnectedComponents(Algorithm):
                 F.broadcast(affected), "label", "left_semi"
             ).select("id")
             sub = new_graph.subgraph_from_nodes(members)
-            sub_cc = ConnectedComponents(sub).run()
+            sub_cc = _fresh_components(sub).run()
             labels = (
                 labels.join(F.broadcast(affected), "label", "left_anti")
                 # the key join moves "label" to column 0 — re-project
@@ -113,7 +125,7 @@ class DynConnectedComponents(Algorithm):
             labels, "id", "left_anti"
         ).select("id", F.col("id").alias("label"))
         labels = labels.unionAll(new_singletons).unionAll(edge_singletons)
-        labels = labels.dropDuplicates(["id"]).localCheckpoint(eager=True)
+        labels = labels.dropDuplicates(["id"]).transform(local_cut)
 
         # label pairs to merge: one per added cross-component edge —
         # O(batch) rows, resolved driver-side with union-find
@@ -146,7 +158,7 @@ class DynConnectedComponents(Algorithm):
             labels = (
                 labels.join(F.broadcast(remap_df), "label", "left")
                 .select("id", F.coalesce("new_label", "label").alias("label"))
-                .localCheckpoint(eager=True)
+                .transform(local_cut)
             )
 
         self.graph = new_graph
@@ -167,3 +179,20 @@ class DynConnectedComponents(Algorithm):
         if not rows:
             raise KeyError(u)
         return rows[0]["label"]
+
+
+class DynWeaklyConnectedComponents(DynConnectedComponents):
+    """Directed batch-incremental weakly-connected components
+    (``cpp/components/DynWeaklyConnectedComponents.cpp``): identical
+    maintenance rules over the undirected view — any added arc weakly
+    merges its endpoints' components; removals recompute only the
+    affected components with the weakly-connected kernel."""
+
+    def __init__(self, graph: Graph) -> None:
+        if not graph.directed:
+            raise ValueError(
+                "DynWeaklyConnectedComponents requires a directed graph "
+                "(DynWeaklyConnectedComponents.cpp ctor)"
+            )
+        Algorithm.__init__(self, graph)
+        self._labels = None

@@ -40,14 +40,23 @@ from networkit_spark.plans.iterate import Materializer
 
 
 class CoreDecomposition(Centrality):
-    def __init__(self, graph: Graph, max_levels: int = 10_000) -> None:
+    def __init__(
+        self, graph: Graph, max_levels: int = 10_000, unroll: int = 1
+    ) -> None:
+        """``unroll=k`` chains k h-index rounds per materialized job.
+        The operator is monotone non-increasing toward the fixpoint, so
+        chunk-end equality implies no change happened inside the chunk —
+        the convergence test every k rounds is exact, never early."""
         if graph.directed:
             raise ValueError(
                 "CoreDecomposition requires an undirected graph "
                 "(CoreDecomposition.cpp ctor precondition)"
             )
+        if unroll < 1:
+            raise ValueError("unroll must be >= 1")
         super().__init__(graph)
         self.max_levels = max_levels  # round budget for the fixpoint
+        self.unroll = unroll
         self._max_core = 0
         self._iterations = 0
 
@@ -78,13 +87,9 @@ class CoreDecomposition(Centrality):
         )
         vals = mat.cut(0, vals)
 
-        it = 0
-        while it < self.max_levels:
-            it += 1
-            # gather neighbor values; `vals` referenced exactly once in
-            # the round plan (single-reference rule, plans/iterate.py)
+        def one_round(v_in):
             nbr = sym.join(
-                vals.hint("shuffle_hash"), sym.src == vals.id
+                v_in.hint("shuffle_hash"), sym.src == v_in.id
             ).select("dst", "h")
             cnt = nbr.groupBy("dst", "h").agg(F.count(F.lit(1)).alias("c"))
             w = (
@@ -97,9 +102,17 @@ class CoreDecomposition(Centrality):
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max(F.least(F.col("h"), F.col("ge"))).alias("h"))
             )
-            new_vals = vertices.join(hidx, "id", "left").select(
+            return vertices.join(hidx, "id", "left").select(
                 "id", F.coalesce("h", F.lit(0)).alias("h")
             )
+
+        it = 0
+        while it < self.max_levels:
+            steps = min(self.unroll, self.max_levels - it)
+            new_vals = vals
+            for _ in range(max(steps, 1)):
+                new_vals = one_round(new_vals)
+                it += 1
             new_vals = mat.cut(it, new_vals)
             # values only decrease; change-count joins two materialized
             # frames as a separate query

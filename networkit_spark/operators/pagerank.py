@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Centrality
-from networkit_spark.plans.iterate import CheckpointStore, Materializer
+from networkit_spark.plans.iterate import CheckpointStore, Materializer, local_cut
 
 #: broadcast the ranks table when the vertex count is below this.
 #: Above it, the rank join runs as a shuffle join in which only the
@@ -231,11 +231,26 @@ class EigenvectorCentrality(Centrality):
     residual of successive normalized vectors."""
 
     def __init__(
-        self, graph: Graph, tol: float = 1e-9, max_iterations: int | None = None
+        self,
+        graph: Graph,
+        tol: float = 1e-9,
+        max_iterations: int | None = None,
+        unroll: int = 1,
     ) -> None:
+        """``unroll=k`` chains k gather rounds per materialized job.
+        Power iteration is scale-invariant, so per-round L2 normalization
+        (``EigenvectorCentrality.cpp:40-44``) can be deferred to once per
+        chunk — the normalized chunk-end vector is identical (up to FP) to
+        normalizing every round; un-normalized values grow by λ^k inside a
+        chunk, far from double overflow for any realistic spectrum. The
+        residual test then runs every k rounds (extra rounds past
+        convergence, never early exit)."""
         super().__init__(graph)
+        if unroll < 1:
+            raise ValueError("unroll must be >= 1")
         self.tol = tol
         self.max_iterations = max_iterations
+        self.unroll = unroll
         self._iterations = 0
 
     def _run(self) -> None:
@@ -244,33 +259,46 @@ class EigenvectorCentrality(Centrality):
         base = g.edges if g.directed else g.symmetrized()
         msg = base.select("src", "dst", "weight").persist()
         vertices = g.vertices
-        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+        ranks = local_cut(vertices.select("id", F.lit(1.0 / n).alias("rank")))
         mat = Materializer()
-        it = 0
-        while True:
-            it += 1
+
+        def one_round(r_in):
             r = (
-                F.broadcast(ranks)
+                F.broadcast(r_in)
                 if n <= BROADCAST_VERTEX_LIMIT
-                else ranks.hint("shuffle_hash")
+                else r_in.hint("shuffle_hash")
             )
             incoming = (
                 msg.join(r, msg.src == r.id)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("weight")).alias("msum"))
             )
-            new_ranks = vertices.join(
+            return vertices.join(
                 incoming, vertices.id == incoming.dst, "left"
             ).select("id", F.coalesce("msum", F.lit(0.0)).alias("rank"))
+
+        it = 0
+        while True:
+            steps = self.unroll
+            if self.max_iterations is not None:
+                steps = min(steps, self.max_iterations - it)
+            # chain of single references (plans/iterate.py rule): each
+            # level of the unrolled plan references the one below it once
+            new_ranks = ranks
+            for _ in range(max(steps, 1)):
+                new_ranks = one_round(new_ranks)
+                it += 1
+            new_ranks = mat.cut(it, new_ranks)
             norm = new_ranks.agg(
                 F.sqrt(F.sum(F.pow("rank", 2))).alias("s")
             ).collect()[0]["s"]
             if not norm:
                 break
+            # cheap projection over the materialized frame — downstream
+            # queries (delta, next chunk) re-read the cached blocks
             new_ranks = new_ranks.select(
                 "id", (F.col("rank") / F.lit(norm)).alias("rank")
             )
-            new_ranks = mat.cut(it, new_ranks)
             delta = (
                 new_ranks.alias("new")
                 .join(ranks.alias("old"), "id")
@@ -299,12 +327,19 @@ class KatzCentrality(Centrality):
         beta: float = 0.1,
         tol: float = 1e-8,
         max_iterations: int | None = None,
+        unroll: int = 1,
     ) -> None:
+        """``unroll=k`` chains k recurrence rounds per materialized job
+        (affine map — chaining is exact); the max-|Δ| convergence test
+        runs every k rounds (never early exit, only extra rounds)."""
         super().__init__(graph)
+        if unroll < 1:
+            raise ValueError("unroll must be >= 1")
         self.alpha = alpha
         self.beta = beta
         self.tol = tol
         self.max_iterations = max_iterations
+        self.unroll = unroll
         self._iterations = 0
 
     def _run(self) -> None:
@@ -320,22 +355,20 @@ class KatzCentrality(Centrality):
             alpha = 1.0 / (1.0 + maxdeg)
         msg = base.select("src", "dst", "weight").persist()
         vertices = g.vertices
-        scores = vertices.select("id", F.lit(0.0).alias("rank")).localCheckpoint()
+        scores = local_cut(vertices.select("id", F.lit(0.0).alias("rank")))
         mat = Materializer()
-        it = 0
-        while True:
-            it += 1
+        def one_round(s_in):
             r = (
-                F.broadcast(scores)
+                F.broadcast(s_in)
                 if n <= BROADCAST_VERTEX_LIMIT
-                else scores.hint("shuffle_hash")
+                else s_in.hint("shuffle_hash")
             )
             incoming = (
                 msg.join(r, msg.src == r.id)
                 .groupBy("dst")
                 .agg(F.sum((F.lit(1.0) + F.col("rank")) * F.col("weight")).alias("msum"))
             )
-            new_scores = vertices.join(
+            return vertices.join(
                 incoming, vertices.id == incoming.dst, "left"
             ).select(
                 "id",
@@ -343,6 +376,17 @@ class KatzCentrality(Centrality):
                     F.lit(alpha) * F.coalesce("msum", F.lit(0.0)) + F.lit(self.beta)
                 ).alias("rank"),
             )
+
+        it = 0
+        prev_delta = None
+        while True:
+            steps = self.unroll
+            if self.max_iterations is not None:
+                steps = min(steps, self.max_iterations - it)
+            new_scores = scores
+            for _ in range(max(steps, 1)):
+                new_scores = one_round(new_scores)
+                it += 1
             new_scores = mat.cut(it, new_scores)
             delta = (
                 new_scores.alias("new")
@@ -356,6 +400,20 @@ class KatzCentrality(Centrality):
                 delta <= self.tol
             ):
                 break
+            # Divergence guard: the recurrence converges iff α·λmax < 1.
+            # The reference default α=1/(1+maxDegree) guarantees that only
+            # for UNWEIGHTED graphs (λmax ≤ maxdeg); on weighted graphs it
+            # can diverge, and without maxIterations the loop would never
+            # exit — fail loudly instead of hanging.
+            if prev_delta is not None and delta > prev_delta and delta > 1e6 * abs(
+                self.beta
+            ):
+                raise RuntimeError(
+                    f"Katz iteration diverging (max|Δ| {prev_delta:.3e} → "
+                    f"{delta:.3e}): alpha={alpha:.6g} ≥ 1/λmax for this "
+                    "graph — pass a smaller alpha or set max_iterations"
+                )
+            prev_delta = delta
         self._iterations = it
         norm = scores.agg(F.sqrt(F.sum(F.pow("rank", 2))).alias("s")).collect()[0]["s"]
         self._scores = scores.select(

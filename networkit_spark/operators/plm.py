@@ -33,12 +33,12 @@ makes oscillation measure-zero in practice, and the sweep cap bounds it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
 from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
-from networkit_spark.plans.iterate import Materializer
+from networkit_spark.plans.iterate import Materializer, local_cut
 
 
 class PLM(Algorithm):
@@ -122,43 +122,61 @@ class PLM(Algorithm):
                 .groupBy(F.col("dst").alias("id"), "nbr_comm")
                 .agg(F.sum("weight").alias("w_to")),
             )
-            # stage 4: ΔQ per candidate community, argmax per node
+            # stage 4: ΔQ argmax per node, window-free. Split the gain
+            #   ΔQ = [w_to/W − γ·k_u·vol(C)/(2W²)]
+            #      − [w(u→D∖u)/W − γ·k_u·vol(D∖u)/(2W²)]
+            # into a candidate part (varies with C) and an own part
+            # (constant per node): argmax over C needs only the candidate
+            # part, so `min(struct(−score, comm))` — a map-side-partial
+            # hash agg with the (gain desc, comm asc) tie-break baked into
+            # struct ordering — replaces the row_number window, and
+            # w(u→D∖u) falls out of the same agg instead of a second
+            # window (same job-count trick as the PLP heaviest-label pick).
             own = state.select(
                 "id", F.col("comm").alias("own_comm"), "wdeg"
             )
             v_cand = vols.select(F.col("comm").alias("nbr_comm"), F.col("vol").alias("vol_cand"))
             v_own = vols.select(F.col("comm").alias("own_comm"), F.col("vol").alias("vol_own"))
-            cand = (
-                links.join(own, "id")
-                .join(v_cand, "nbr_comm")
+            cand = links.join(own, "id").join(v_cand, "nbr_comm")
+            cand_score = (
+                F.col("w_to") * inv_w
+                - F.lit(self.gamma) * F.col("wdeg") * F.col("vol_cand") * inv_2w2
+            )
+            best = (
+                cand.groupBy("id")
+                .agg(
+                    F.min(
+                        F.when(
+                            F.col("nbr_comm") != F.col("own_comm"),
+                            F.struct(
+                                (-cand_score).alias("neg_score"),
+                                F.col("nbr_comm").alias("comm"),
+                            ),
+                        )
+                    ).alias("best"),
+                    F.max(
+                        F.when(
+                            F.col("nbr_comm") == F.col("own_comm"), F.col("w_to")
+                        )
+                    ).alias("w_to_own"),
+                    F.first("own_comm").alias("own_comm"),
+                    F.first("wdeg").alias("wdeg"),
+                )
                 .join(v_own, "own_comm")
             )
-            # w(u→D∖u): weight to own community (0 if none of the
-            # neighbors share it); vol(D∖u) = vol_own − wdeg(u)
-            w_to_own = F.max(
-                F.when(F.col("nbr_comm") == F.col("own_comm"), F.col("w_to"))
-            ).over(Window.partitionBy("id"))
-            scored = cand.select(
-                "id",
-                "nbr_comm",
-                "own_comm",
-                (
-                    (F.col("w_to") - F.coalesce(w_to_own, F.lit(0.0))) * inv_w
-                    - F.lit(self.gamma)
-                    * F.col("wdeg")
-                    * (F.col("vol_cand") - (F.col("vol_own") - F.col("wdeg")))
-                    * inv_2w2
-                ).alias("gain"),
-            ).where(F.col("nbr_comm") != F.col("own_comm"))
-            w_best = Window.partitionBy("id").orderBy(
-                F.desc("gain"), F.asc("nbr_comm")
+            # own part: w(u→D∖u)/W − γ·k_u·(vol_own − k_u)/(2W²)
+            own_score = (
+                F.coalesce(F.col("w_to_own"), F.lit(0.0)) * inv_w
+                - F.lit(self.gamma)
+                * F.col("wdeg")
+                * (F.col("vol_own") - F.col("wdeg"))
+                * inv_2w2
             )
-            moves = (
-                scored.withColumn("rn", F.row_number().over(w_best))
-                .where((F.col("rn") == 1) & (F.col("gain") > 0))
-                .select("id", F.col("nbr_comm").alias("new_comm"))
-            )
-            moves = moves.localCheckpoint(eager=True)
+            moves = best.where(
+                F.col("best").isNotNull()
+                & ((-F.col("best.neg_score") - own_score) > 0)
+            ).select("id", F.col("best.comm").alias("new_comm"))
+            moves = moves.transform(local_cut)
             n_moves = moves.count()
             new_labels = mat.cut(
                 sweep,
@@ -203,7 +221,7 @@ class PLM(Algorithm):
                 m.select("id", F.col("super").alias("coarse_id"))
                 .join(final, "coarse_id")
                 .select("id", "comm")
-                .localCheckpoint(eager=True)
+                .transform(local_cut)
                 .select(F.col("id").alias("coarse_id"), F.col("comm"))
             )
         self._labels = final.select(

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.plans.iterate import CheckpointStore, Materializer
+from networkit_spark.plans.iterate import CheckpointStore, Materializer, local_cut
 
 
 class PLP(Algorithm):
@@ -133,7 +133,7 @@ class PLP(Algorithm):
             )
             # one materialization per round; the update count is a trivial
             # scan of the checkpointed result (no old⋈new join)
-            cand = cand.localCheckpoint(eager=True)
+            cand = cand.transform(local_cut)
             updated = cand.where(F.col("changed")).count()
             wall = round(time.time() - t0, 4)
             self._timing.append(wall)

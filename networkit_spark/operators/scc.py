@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.plans.iterate import Materializer
+from networkit_spark.plans.iterate import Materializer, local_cut
 
 
 def _reachable(edges: DataFrame, seed: DataFrame, mat: Materializer, tag: int) -> DataFrame:
@@ -73,7 +73,7 @@ class StronglyConnectedComponents(Algorithm):
             nonlocal labels
             chunk = nodes.select("id", label_col.alias("label"))
             labels = chunk if labels is None else labels.unionAll(chunk)
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(local_cut)
 
         while True:
             # ---- trim: peel nodes with no in- or out-edge among remaining
@@ -90,7 +90,7 @@ class StronglyConnectedComponents(Algorithm):
                     ),
                 )
                 trimmed = remaining.join(keep, "id", "left_anti")
-                trimmed = trimmed.localCheckpoint(eager=True)
+                trimmed = trimmed.transform(local_cut)
                 n_trimmed = trimmed.count()
                 if n_trimmed == 0:
                     break
@@ -123,7 +123,7 @@ class StronglyConnectedComponents(Algorithm):
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
             bwd = _reachable(rev_edges, seed, mat, tag)
-            scc = fwd.join(bwd, "id", "left_semi").localCheckpoint(eager=True)
+            scc = fwd.join(bwd, "id", "left_semi").transform(local_cut)
             min_id = scc.agg(F.min("id")).collect()[0][0]
             assign(scc, F.lit(min_id).cast("long"))
             remaining = mat.cut(tag, remaining.join(scc, "id", "left_anti"))

@@ -25,11 +25,11 @@ driver-side Kruskal on golden graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.plans.iterate import Materializer
+from networkit_spark.plans.iterate import Materializer, local_cut
 
 
 class MinimumSpanningForest(Algorithm):
@@ -71,7 +71,7 @@ class MinimumSpanningForest(Algorithm):
                 .join(ld.hint("shuffle_hash"), "dst")
                 .where(F.col("lu") != F.col("lv"))
             )
-            cross = cross.localCheckpoint(eager=True)
+            cross = cross.transform(local_cut)
             if cross.limit(1).count() == 0:
                 break
             # each component's min outgoing edge, from both sides
@@ -82,15 +82,16 @@ class MinimumSpanningForest(Algorithm):
                     F.col("lv").alias("comp"), "src", "dst", "weight", "lu", "lv"
                 )
             )
-            w_pick = Window.partitionBy("comp").orderBy(
-                F.asc("weight"), F.asc("src"), F.asc("dst")
-            )
+            # min outgoing edge per component via min(struct(...)) hash
+            # agg — struct field order (weight, src, dst) IS the
+            # deterministic tie-break, with map-side partial aggregation
+            # instead of a row_number exchange+sort
             picked = (
-                both.withColumn("rn", F.row_number().over(w_pick))
-                .where(F.col("rn") == 1)
-                .select("src", "dst", "weight", "lu", "lv")
+                both.groupBy("comp")
+                .agg(F.min(F.struct("weight", "src", "dst", "lu", "lv")).alias("p"))
+                .select("p.src", "p.dst", "p.weight", "p.lu", "p.lv")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(local_cut)
             )
             add = picked.select("src", "dst", "weight")
             forest = add if forest is None else forest.unionAll(add)
@@ -108,9 +109,9 @@ class MinimumSpanningForest(Algorithm):
                 merge.select(F.col("a").alias("node"))
                 .distinct()
                 .select("node", F.col("node").alias("m"))
-                .localCheckpoint(eager=True)
+                .transform(local_cut)
             )
-            merge = merge.localCheckpoint(eager=True)
+            merge = merge.transform(local_cut)
             while True:
                 gathered = (
                     merge.join(comp_labels, merge.a == comp_labels.node)
@@ -125,7 +126,7 @@ class MinimumSpanningForest(Algorithm):
                             F.col("m"), F.coalesce("nm", F.col("m"))
                         ).alias("m"),
                     )
-                    .localCheckpoint(eager=True)
+                    .transform(local_cut)
                 )
                 changed = (
                     new_cl.alias("new")

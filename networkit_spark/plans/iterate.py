@@ -19,25 +19,32 @@ cluster the same layout maps 1:1 onto an Iceberg table partitioned by
 ``(run_id, iter)`` with the metrics JSONL as a metrics table — the store
 isolates that choice behind ``save``/``latest``.
 
-**SINGLE-REFERENCE RULE (measured, load-bearing):** the plan that a
-round materializes must reference the previous round's checkpointed
-frame **exactly once**. Referencing it twice (e.g. joining the old state
-back in for a fused convergence delta, or a pointer-doubling self-join)
-silently defeats checkpoint-block reuse — each round's job then
-recomputes the full history and per-round wall time doubles (~×2.3/round
-from ~round 15, measured on Spark 4.1 with and without AQE, with eager
-and lazy localCheckpoint). Patterns that satisfy the rule:
+**History — the "single-reference rule" and its real root cause.**
+Round 1 measured per-round wall time doubling (~×2.3/round from ~round
+15) whenever a round's materialized plan referenced the previous round's
+checkpointed frame more than once, and attributed it to checkpoint-block
+reuse failure; every kernel was therefore restructured so each round
+references the chained state frame exactly once. Round 2 found the true
+mechanism: ``Dataset.localCheckpoint`` copies the origin plan's
+*estimated statistics* onto the new ``LogicalRDD``, and size-only
+estimation multiplies child ``sizeInBytes`` (exact ``BigInteger``s)
+across every join — k references to a frame whose stat already has B
+bits yields ≥ kB bits, so bit-length grows geometrically per round and
+the driver ends up in million-digit Toom-Cook multiplication inside the
+next checkpoint (see :func:`local_cut`). With ``local_cut`` stripping
+inherited stats at every cut, multi-reference round plans are flat
+(measured: 25 rounds of a 4-reference plan, ~0.5 s/round, vs >200 s
+climbing with plain ``localCheckpoint``). The single-reference shapes
+below are KEPT — they are good plans (fewer joins, map-side aggs) — but
+the rule is no longer a correctness/viability constraint on new
+operators:
 
 - extra lookups of the old state run as SEPARATE queries on the already-
   materialized frames (PageRank's delta join, CC's changed count);
 - "self + neighbors" aggregations add explicit self-loop rows to the
   static edge side instead of re-joining the state (CC hash-min, ANF);
 - multi-stage rounds materialize each stage before the next references
-  it (PLP's histogram winner);
-- a FRESH frame derived this round and then cut/materialized may be
-  referenced any number of times afterwards (measured flat over 30
-  rounds — k-core's peel set); the hazard is specific to the
-  round-over-round chained state frame.
+  it (PLP's histogram winner).
 """
 
 from __future__ import annotations
@@ -49,6 +56,47 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def local_cut(df: DataFrame) -> DataFrame:
+    """Eager in-memory lineage cut with BOUNDED plan statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but copies the origin
+    plan's estimated ``Statistics`` onto the new ``LogicalRDD`` leaf
+    (``sql/core/.../ExistingRDD.scala`` ``rewriteStatsAndConstraints``).
+    Size-only estimation MULTIPLIES child ``sizeInBytes`` across every
+    join (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``), so an iterative
+    kernel whose round plan contains j joins over checkpointed frames
+    makes the stat's BIT-LENGTH grow ~j× per round. The numbers are exact
+    ``BigInteger``s: after ~20 rounds of a multi-join round plan the
+    driver spends minutes per checkpoint inside Toom-Cook multiplication
+    on million-digit integers (observed stack:
+    ``BigInteger.multiplyToomCook3`` under ``Dataset.checkpoint``) — the
+    wall-time-per-round "exponential blow-up" previously mis-attributed
+    to checkpoint-block reuse (see PLANS.md round-2 findings; measured:
+    25 multi-join rounds flat at ~0.5 s with this cut vs >200 s and
+    climbing with plain ``localCheckpoint``).
+
+    Fix: checkpoint eagerly (materializes copied ``InternalRow``s), then
+    re-wrap the checkpointed RDD as a FRESH ``LogicalRDD`` carrying no
+    inherited stats (planner falls back to ``defaultSizeInBytes``). Our
+    iterative kernels always broadcast / ``SHUFFLE_HASH``-hint the state
+    side explicitly, and AQE re-plans from true runtime shuffle sizes, so
+    losing the (absurdly inflated) estimate costs nothing.
+    ``internalCreateDataFrame`` is ``private[sql]`` but stable across
+    Spark 3.x/4.x and callable through py4j (Scala access modifiers are
+    not enforced in bytecode).
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # pragma: no cover — private-API drift fallback
+        return ck
 
 
 class CheckpointStore:
@@ -173,8 +221,8 @@ class Materializer:
             return self.store.save(it, df, metrics)
         # Eager checkpoint: materializes now and truncates lineage NOW.
         # (eager=False defers truncation until some later action, and a
-        # derived plan that runs first re-plans the full parent lineage —
-        # measured to go exponential past ~15 rounds. Do not "optimize"
-        # this to lazy.) Blocks are MEMORY_AND_DISK: accumulated rounds
-        # spill rather than evict.
-        return df.localCheckpoint(eager=True)
+        # derived plan that runs first re-plans the full parent lineage.
+        # Do not "optimize" this to lazy.) Blocks are MEMORY_AND_DISK:
+        # accumulated rounds spill rather than evict. local_cut also
+        # strips inherited plan statistics — see its docstring.
+        return local_cut(df)

