@@ -884,6 +884,70 @@ FROM scored GROUP BY 1, 2
 """
 
 
+def q_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard edge scores (JaccardDistance.cpp:38-40 /
+    JaccardSimilaritySparsifier, sparsification.pyx:983)."""
+    from networkit_spark.operators.sparsification import jaccard_similarity_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return jaccard_similarity_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+_SQL_EDGE_TRI = f"""
+{_SQL_ORIENTED},
+epairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c) AS u, greatest(a, c) AS v FROM tris
+  UNION ALL SELECT least(b, c) AS u, greatest(b, c) AS v FROM tris
+),
+tri AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, coalesce(p.cnt, 0) AS tri
+  FROM edges e
+  LEFT JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
+    ON p.u = e.src AND p.v = e.dst
+),
+sdeg AS (SELECT src AS id, count(DISTINCT dst) AS d FROM sym WHERE src <> dst GROUP BY src)"""
+
+
+def q_jaccard_similarity_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_EDGE_TRI}
+SELECT t.u, t.v,
+       round(CAST(t.tri AS DOUBLE) / (du.d + dv.d - t.tri), 6) AS score
+FROM tri t JOIN sdeg du ON du.id = t.u JOIN sdeg dv ON dv.id = t.v
+"""
+
+
+def q_chance_corrected_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChanceCorrectedTriangleScore (ChanceCorrectedTriangleScore.cpp:
+    22-28): t·(n-2)/((du-1)(dv-1)), degree-1 special case."""
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores,
+    )
+
+    g = undirected_graph(spark, sf_dir)
+    return chance_corrected_triangle_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_chance_corrected_triangle_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_EDGE_TRI}
+SELECT t.u, t.v,
+       round(CASE WHEN t.tri > 0
+                  THEN t.tri * ((SELECT count(*) FROM nodes) - 2.0)
+                       / ((du.d - 1) * (dv.d - 1))
+                  WHEN du.d = 1 OR dv.d = 1 THEN 1.0
+                  ELSE 0.0 END, 6) AS score
+FROM tri t JOIN sdeg du ON du.id = t.u JOIN sdeg dv ON dv.id = t.v
+"""
+
+
 def q_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiscaleScore (MultiscaleScore.cpp:14-62): per-endpoint
     1-(1-w/Σw)^(k-1) significance, max over endpoints."""
@@ -1774,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_degree": q_local_degree,
         "scan_similarity": q_scan_similarity,
         "local_similarity": q_local_similarity,
+        "jaccard_similarity": q_jaccard_similarity,
+        "chance_corrected_triangle": q_chance_corrected_triangle,
         "multiscale": q_multiscale,
         "link_prediction": q_link_prediction,
         "eigenvector": q_eigenvector,
@@ -1823,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         "local_degree": q_local_degree_sql(),
         "scan_similarity": q_scan_similarity_sql(),
         "local_similarity": q_local_similarity_sql(),
+        "jaccard_similarity": q_jaccard_similarity_sql(),
+        "chance_corrected_triangle": q_chance_corrected_triangle_sql(),
         "multiscale": q_multiscale_sql(),
         "link_prediction": q_link_prediction_sql(),
         "eigenvector": q_eigenvector_sql(),

@@ -109,6 +109,89 @@ def scan_similarity_scores(
     )
 
 
+def _simple_degrees(graph: Graph) -> DataFrame:
+    """``(id, d)`` simple-graph degree (distinct neighbors, no loops)."""
+    return (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _with_endpoint_degrees(graph: Graph, triangle_scores: DataFrame | None):
+    """Per-edge triangle counts joined with both endpoint degrees:
+    ``(u, v, tri, du, dv)`` — the shared input of the Jaccard and
+    chance-corrected scorers."""
+    if triangle_scores is None:
+        from networkit_spark.operators.triangles import TriangleEdgeScore
+
+        triangle_scores = TriangleEdgeScore(graph).run().edge_scores()
+    deg = _simple_degrees(graph)
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        triangle_scores.select("u", "v", F.col("score").alias("tri"))
+        .join(du, "u")
+        .join(dv, "v")
+    )
+
+
+def jaccard_similarity_scores(
+    graph: Graph, triangle_scores: DataFrame | None = None
+) -> DataFrame:
+    """Neighborhood Jaccard per canonical edge:
+    ``score = t / (deg(u) + deg(v) - t)`` with ``t`` the common-neighbor
+    count — the similarity used by ``JaccardSimilaritySparsifier``
+    (``networkit/sparsification.pyx:983-1004``); the reference's
+    ``JaccardDistance`` returns ``1 - score``
+    (``cpp/distance/JaccardDistance.cpp:38-40``).
+
+    Returns ``(u, v, score)``; pure joins over the per-edge triangle
+    counts and the two endpoint degrees.
+    """
+    return _with_endpoint_degrees(graph, triangle_scores).select(
+        "u",
+        "v",
+        (
+            F.col("tri")
+            / (F.col("du") + F.col("dv") - F.col("tri")).cast("double")
+        ).alias("score"),
+    )
+
+
+def chance_corrected_triangle_scores(
+    graph: Graph, triangle_scores: DataFrame | None = None
+) -> DataFrame:
+    """``ChanceCorrectedTriangleScore`` (``cpp/sparsification/
+    ChanceCorrectedTriangleScore.cpp:22-28``): per canonical edge
+
+    - ``t > 0`` → ``t · (n - 2) / ((deg(u) - 1) · (deg(v) - 1))``
+    - ``t = 0`` and either endpoint has degree 1 → ``1.0``
+    - otherwise ``0.0``
+
+    (the expected triangle count of a random edge between nodes of the
+    same degrees; degree-1 endpoints cannot close triangles at all, so
+    the edge is kept by convention).
+    """
+    n = graph.number_of_nodes()
+    return _with_endpoint_degrees(graph, triangle_scores).select(
+        "u",
+        "v",
+        F.when(
+            F.col("tri") > 0,
+            F.col("tri")
+            * F.lit(float(n - 2))
+            / ((F.col("du") - 1) * (F.col("dv") - 1)).cast("double"),
+        )
+        .when((F.col("du") == 1) | (F.col("dv") == 1), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
 def local_degree_scores(graph: Graph) -> DataFrame:
     """``LocalDegreeScore`` (``cpp/sparsification/LocalDegreeScore.cpp:
     38-88``): per node i (degree d), rank its neighbors by degree

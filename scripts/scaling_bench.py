@@ -56,8 +56,14 @@ for c in copies[1:]:
     edges = edges.unionAll(c)
 g = Graph(edges.repartition(cpus, "src").persist(), directed=True, weighted=True)
 m = g.number_of_edges()
-# warm caches (edge persist, degree computation) outside the measurement
-PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=1).run()
+# warm-up: one FULL-length pass, excluded from timing. A 1-iteration
+# warm pass is not enough on the JVM — measured run-1 wall up to 2.4x
+# run-3 within a process (C2 JIT compilation of the join/agg codegen,
+# shuffle-path allocation, GC sizing). The steady state is what a
+# long-running cluster job sees; the warm pass also materializes the
+# persisted edge cache and degree frame.
+pw = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
+pw.scores().write.format("noop").mode("overwrite").save()
 walls = []
 for _ in range(3):  # median of 3 — noisy-neighbor variance control
     t0 = time.time()

@@ -208,3 +208,32 @@ def test_salted_skew_helpers_match_unsalted(spark):
     out = salted_gather_join(big, small, "key", "id", n_salts=4)
     assert out.count() == 201
     assert out.where("tag = 'cold'").count() == 1
+
+
+def test_jaccard_similarity_scores(spark):
+    from networkit_spark.operators.sparsification import jaccard_similarity_scores
+
+    # triangle 0-1-2 plus pendant 2-3: deg 0,1=2; 2=3; 3=1
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    s = {(r["u"], r["v"]): r["score"] for r in jaccard_similarity_scores(g).collect()}
+    # (0,1): t=1, 1/(2+2-1); (0,2): t=1, 1/(2+3-1); (2,3): t=0
+    assert s[(0, 1)] == pytest.approx(1 / 3)
+    assert s[(0, 2)] == pytest.approx(1 / 4)
+    assert s[(2, 3)] == pytest.approx(0.0)
+
+
+def test_chance_corrected_triangle_scores(spark):
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores,
+    )
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    s = {
+        (r["u"], r["v"]): r["score"]
+        for r in chance_corrected_triangle_scores(g).collect()
+    }
+    # n=4: (0,1): 1*(4-2)/((2-1)*(2-1)) = 2; (0,2): 1*2/(1*2) = 1
+    # (2,3): t=0 but deg(3)=1 -> 1.0 (ChanceCorrectedTriangleScore.cpp:25-27)
+    assert s[(0, 1)] == pytest.approx(2.0)
+    assert s[(0, 2)] == pytest.approx(1.0)
+    assert s[(2, 3)] == pytest.approx(1.0)
