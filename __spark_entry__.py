@@ -1415,7 +1415,10 @@ def q_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANF effective diameter (hash-seeded sketches — no SQL oracle)."""
+    """ANF effective diameter. The FM sketches are md5-seeded (geometric
+    bit = lowest set bit of a 30-bit portable hash) and the lowest-zero
+    estimate is integer-only, so the whole OR-propagation is reproduced
+    bit-identically by the unrolled SQL oracle."""
     from networkit_spark.operators.distance import EffectiveDiameterApproximation
 
     g = undirected_graph(spark, sf_dir)
@@ -1423,6 +1426,57 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(eff.get_effective_diameter(),)], "effective_diameter double"
     )
+
+
+_ANF_HOPS = 6  # ≥ sketch-convergence hops of the dense V_SMALL graph
+# (measured 2-3 at sf0.01); under-unroll surfaces as a hash MISMATCH
+
+
+def q_effective_diameter_sql() -> str:
+    h32 = _sql_hash32(
+        "CAST(id AS VARCHAR) || ':' || CAST(t.trial AS VARCHAR)", "anf42"
+    )
+    hops, ests = [], []
+    for k in range(1, _ANF_HOPS + 1):
+        hops.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT s.dst AS id, m.trial, bit_or(m.mask) AS mask
+  FROM symself s JOIN m{k - 1} m ON m.id = s.src
+  GROUP BY s.dst, m.trial
+)"""
+        )
+        ests.append(
+            f"""est{k} AS (
+  SELECT {k} AS hop, sum(pow(2.0, b) / 0.77351) AS est FROM (
+    SELECT id, avg(bit_count(xor(mask, mask + 1) >> 1)) AS b
+    FROM m{k} GROUP BY id)
+)"""
+        )
+    est_union = "\n  UNION ALL\n".join(
+        f"  SELECT hop, est FROM est{k}" for k in range(1, _ANF_HOPS + 1)
+    )
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+symself AS MATERIALIZED (
+  SELECT src, dst FROM sym UNION ALL SELECT id AS src, id AS dst FROM nodes
+),
+m0 AS MATERIALIZED (
+  SELECT id, trial,
+         CAST(pow(2.0, CASE WHEN h = 0 THEN 29
+                            ELSE least(bit_count((h & -h) - 1), 29) END)
+              AS BIGINT) AS mask
+  FROM (SELECT id, t.trial, {h32} % 1073741824 AS h
+        FROM nodes, (SELECT unnest(range(0, 8)) AS trial) t)
+),
+{",".join(hops)},
+{",".join(ests)},
+allest AS (
+{est_union}
+)
+SELECT CAST(min(hop) AS DOUBLE) AS effective_diameter
+FROM allest
+WHERE est >= 0.9 * (SELECT est FROM est{_ANF_HOPS})
+"""
 
 
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "diameter": q_diameter_sql(),
         "top_closeness": q_top_closeness_sql(),
         "closeness": q_closeness_sql(),
+        "effective_diameter": q_effective_diameter_sql(),
         "harmonic_closeness": q_harmonic_closeness_sql(),
         "bfs_hops": q_bfs_hops_sql(),
         "apsp": q_apsp_sql(),

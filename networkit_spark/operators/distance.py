@@ -283,22 +283,30 @@ class EffectiveDiameterApproximation(Algorithm):
 
     def _init_masks(self) -> DataFrame:
         """Seed mask per (node, trial): geometric bit via the reference's
-        ``Aux::Random::real() < 2^-i`` cascade — here a deterministic
-        hash-uniform draw, one set bit per mask."""
+        ``Aux::Random::real() < 2^-i`` cascade — here the position of the
+        lowest SET bit of a 30-bit md5-derived draw, which is exactly
+        geometric(1/2) using only integer ops: portable bit-identically
+        to ANSI SQL (no libm log2 whose last-ULP could flip a floor),
+        so the whole sketch propagation sits behind the DuckDB oracle."""
+        from networkit_spark.operators.dedup import portable_hash32
+
         g = self.graph
         trials = F.sequence(F.lit(0), F.lit(self.k - 1))
         per_trial = g.vertices.select("id", F.explode(trials).alias("trial"))
-        u = (
-            F.abs(F.xxhash64(F.lit(self.seed), F.col("id"), F.col("trial")))
-            % F.lit(1 << 30)
-        ) / F.lit(float(1 << 30))
-        # geometric: bit position = floor(-log2(u)) capped at field width
         width = 30  # enough for n up to 2^30 with r guard bits
-        bitpos = F.least(
-            F.floor(-F.log2(u + F.lit(1e-18))).cast("int"), F.lit(width - 1)
+        h = portable_hash32(
+            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("trial")),
+            f"anf{self.seed}",
+        ) % F.lit(1 << width)
+        # lowest set bit position = popcount((h & -h) - 1); h = 0 (p =
+        # 2^-30) takes the top position
+        bitpos = F.when(h == 0, F.lit(width - 1)).otherwise(
+            F.least(
+                F.bit_count(h.bitwiseAND(-h) - 1).cast("int"), F.lit(width - 1)
+            )
         )
         # 2^bitpos as a long (shiftleft needs a literal shift; pow is
-        # exact for bitpos < 2^30)
+        # exact for bitpos < 53)
         return per_trial.select(
             "id", "trial", F.pow(F.lit(2.0), bitpos).cast("long").alias("mask")
         )
@@ -324,10 +332,12 @@ class EffectiveDiameterApproximation(Algorithm):
         masks = mat.cut(0, self._init_masks())
 
         def estimate(m: DataFrame) -> float:
-            # lowest zero bit b per mask; estimate = sum over nodes of
+            # lowest zero bit b per mask = trailing-ones count =
+            # popcount((mask XOR (mask+1)) >> 1) — integer-only, same
+            # expression in the SQL oracle; estimate = sum over nodes of
             # 2^(avg_b) / 0.77351  (EffectiveDiameterApproximation.cpp:56-77)
-            lowest_zero = F.length(
-                F.regexp_extract(F.reverse(F.bin(F.col("mask"))), r"^(1*)", 1)
+            lowest_zero = F.bit_count(
+                F.shiftright(F.col("mask").bitwiseXOR(F.col("mask") + 1), 1)
             )
             per_node = m.groupBy("id").agg(F.avg(lowest_zero).alias("b"))
             row = per_node.agg(
