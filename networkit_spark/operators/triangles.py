@@ -114,9 +114,10 @@ def triangle_rows(
         m = oriented.count()  # cheap on the persisted frame callers pass
         strategy = "intersect" if m <= INTERSECT_EDGE_LIMIT else "wedge"
     if strategy == "intersect":
+        # persisted: read once per broadcast exchange below
         adj = oriented.groupBy("a").agg(
             F.collect_list("b").alias("nbrs")
-        )
+        ).persist()
         adj_a = F.broadcast(adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a")))
         adj_b = F.broadcast(
             adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nbrs_b"))
@@ -172,7 +173,8 @@ def _counts_by_intersect(canon: DataFrame, deg: DataFrame):
     sym = canon.select("src", "dst").unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    adj = sym.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # persisted: each of the two broadcast exchanges below re-reads it
+    adj = sym.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).persist()
     a_u = F.broadcast(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")))
     a_v = F.broadcast(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")))
     return (
