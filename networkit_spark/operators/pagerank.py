@@ -19,8 +19,13 @@ reference-wrong:
 
 Spark plan per round (all JVM-side, no Python in the loop):
 
-    contrib(src, dst, frac)  --join ranks on src-->  groupBy(dst).sum
-        --right join vertices-->  damp·Σ + teleport  --> new ranks
+    contrib(src, dst, frac)  --join ranks on src-->  (dst, rank·frac)
+        ∪ (id, 0, old_rank)  --groupBy(dst).sum-->  damp·Σ + teleport
+
+One exchange per round, no outer join: a zero-contribution row per
+vertex keeps isolated/dangling-target vertices in the output, and
+carries the old rank through the same aggregation so the convergence
+delta is a shuffle-free scan of the materialized round output.
 
 ``contrib = weight / wdeg_out(src)`` is precomputed once and persisted,
 partitioned by ``src`` so the per-round join shuffles only the small
@@ -96,15 +101,34 @@ class PageRank(Centrality):
 
     # ------------------------------------------------------------------
     def _build_contrib(self):
-        """(src, dst, frac=weight/wdeg_out(src)) — the message matrix."""
+        """(src, dst, frac=weight/wdeg_out(src), is_self) — the message
+        matrix, plus one permanent ``frac=0`` self-row per vertex.
+
+        The self-rows make each round a SINGLE reference to the rank
+        state (plans/iterate.py): one gather join emits both the
+        weighted contributions and — via ``is_self`` — every vertex's
+        own previous rank, so (a) isolated/dangling-target vertices
+        survive the aggregation without an outer join, and (b) the
+        convergence delta is a shuffle-free scan of the materialized
+        round output instead of a separate old⋈new join job per round.
+        Costs |V| extra static rows on an |E|-row frame (~1% at web
+        scale)."""
         g = self.graph
         base = g.edges if g.directed else g.symmetrized()
         degs = g.degrees().select("id", "w_out_deg")
         contrib = (
             base.join(degs, base.src == degs.id)
-            .select("src", "dst", (F.col("weight") / F.col("w_out_deg")).alias("frac"))
+            .select(
+                "src", "dst",
+                (F.col("weight") / F.col("w_out_deg")).alias("frac"),
+                F.lit(False).alias("is_self"),
+            )
         )
-        return contrib
+        selfs = g.vertices.select(
+            F.col("id").alias("src"), F.col("id").alias("dst"),
+            F.lit(0.0).alias("frac"), F.lit(True).alias("is_self"),
+        )
+        return contrib.unionAll(selfs)
 
     def _run(self) -> None:
         g = self.graph
@@ -118,7 +142,7 @@ class PageRank(Centrality):
         contrib = self._build_contrib()
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         contrib = contrib.repartition(shuffle_parts, "src").persist()
-        vertices = g.vertices.persist()
+        vertices = g.vertices
 
         do_broadcast = (
             self.broadcast_ranks
@@ -139,61 +163,78 @@ class PageRank(Centrality):
             ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
             ranks = mat.cut(0, ranks, {"phase": "init", "n": n})
 
-        def one_round(r_in):
+        def one_round(r_in, carry_old: bool = False):
             # small vertex state: broadcast below the limit; above it a
             # SHUFFLE_HASH hint on the state side — the default plan is
             # sort-merge, which re-sorts the big (pre-partitioned,
             # persisted) contrib side EVERY round; hash-building the
             # small side streams contrib with no sort (measured ~15%
             # per-round win at 38M edges, and it removes the one
-            # O(E log E) step from the round)
-            r = F.broadcast(r_in) if do_broadcast else r_in.hint("shuffle_hash")
-            incoming = (
-                contrib.join(r, contrib.src == r.id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("frac")).alias("msum"))
+            # O(E log E) step from the round).
+            #
+            # Single reference to `r_in` per round (the contrib frame's
+            # permanent self-rows stand in for the outer join AND the
+            # old-rank carry — see _build_contrib), so unrolled chains
+            # stay linear in plan size.
+            gather = (
+                F.broadcast(r_in) if do_broadcast else r_in.hint("shuffle_hash")
             )
-            return vertices.join(
-                incoming, vertices.id == incoming.dst, "left"
-            ).select(
-                "id",
-                (
-                    F.lit(self.damp) * F.coalesce("msum", F.lit(0.0))
-                    + F.lit(teleport)
-                ).alias("rank"),
+            aggs = [
+                F.sum(F.col("g.rank") * F.col("c.frac")).alias("msum")
+            ]
+            if carry_old:
+                aggs.append(
+                    F.sum(
+                        F.when(F.col("c.is_self"), F.col("g.rank")).otherwise(0.0)
+                    ).alias("old_rank")
+                )
+            agg = (
+                contrib.alias("c")
+                .join(gather.alias("g"), F.col("c.src") == F.col("g.id"))
+                .groupBy(F.col("c.dst").alias("dst"))
+                .agg(*aggs)
             )
+            cols = [
+                F.col("dst").alias("id"),
+                (F.lit(self.damp) * F.col("msum") + F.lit(teleport)).alias("rank"),
+            ]
+            if carry_old:
+                cols.append(F.col("old_rank"))
+            return agg.select(*cols)
 
         it = start_iter
         while True:
             t0 = time.time()
-            # SINGLE-REFERENCE RULE (engine invariant, plans/iterate.py):
-            # the chunk's checkpointed plan references `ranks` exactly once
-            # (a CHAIN of `unroll` rounds — each level references the one
-            # below it once). The convergence delta joins old vs new as a
-            # SEPARATE query over two materialized checkpoints — folding
-            # it into the round plan would reference `ranks` twice, which
-            # defeats checkpoint reuse and goes exponential.
             steps = self.unroll
             if self.max_iterations is not None:
                 steps = min(steps, self.max_iterations - it)
+            steps = max(steps, 1)
+            need_delta = self.tol > 0.0 or self.max_iterations is None
+            # the final level of the chunk carries old_rank, so the
+            # convergence delta — new vs previous ROUND (reference
+            # semantics, sampled at chunk ends when unroll>1) — is a
+            # scan-agg over the materialized round output; no separate
+            # old⋈new join job per round.
             new_ranks = ranks
-            for _ in range(max(steps, 1)):
-                new_ranks = one_round(new_ranks)
+            for k in range(steps):
+                new_ranks = one_round(
+                    new_ranks, carry_old=need_delta and k == steps - 1
+                )
                 it += 1
             new_ranks = mat.cut(
                 it,
                 new_ranks,
                 {"algo": "pagerank", "norm": self.norm} if self.store else None,
             )
-            if self.tol > 0.0 or self.max_iterations is None:
-                diff = new_ranks.alias("new").join(ranks.alias("old"), "id")
+            if need_delta:
                 if self.norm == "l1":
-                    delta_expr = F.sum(F.abs(F.col("new.rank") - F.col("old.rank")))
+                    delta_expr = F.sum(F.abs(F.col("rank") - F.col("old_rank")))
                 else:
                     delta_expr = F.sqrt(
-                        F.sum(F.pow(F.col("new.rank") - F.col("old.rank"), 2))
+                        F.sum(F.pow(F.col("rank") - F.col("old_rank"), 2))
                     )
-                delta = diff.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
+                delta = new_ranks.agg(delta_expr.alias("d")).collect()[0]["d"] or 0.0
+                new_ranks = new_ranks.select("id", "rank")
             else:
                 # tol=0 with a fixed iteration budget: the tolerance test
                 # can never fire, so skip the delta job — one job per round
@@ -257,36 +298,63 @@ class EigenvectorCentrality(Centrality):
         g = self.graph
         n = g.number_of_nodes()
         base = g.edges if g.directed else g.symmetrized()
-        msg = base.select("src", "dst", "weight").persist()
         vertices = g.vertices
+        # permanent weight-0 self-rows: single state reference per round
+        # + old-rank carry, exactly as in PageRank._build_contrib
+        msg = (
+            base.select("src", "dst", "weight", F.lit(False).alias("is_self"))
+            .unionAll(
+                vertices.select(
+                    F.col("id").alias("src"), F.col("id").alias("dst"),
+                    F.lit(0.0).alias("weight"), F.lit(True).alias("is_self"),
+                )
+            )
+            .persist()
+        )
         ranks = local_cut(vertices.select("id", F.lit(1.0 / n).alias("rank")))
         mat = Materializer()
 
-        def one_round(r_in):
+        def one_round(r_in, carry_old: bool = False):
             r = (
                 F.broadcast(r_in)
                 if n <= BROADCAST_VERTEX_LIMIT
                 else r_in.hint("shuffle_hash")
             )
-            incoming = (
-                msg.join(r, msg.src == r.id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("weight")).alias("msum"))
+            aggs = [F.sum(F.col("g.rank") * F.col("e.weight")).alias("rank")]
+            if carry_old:
+                aggs.append(
+                    F.sum(
+                        F.when(F.col("e.is_self"), F.col("g.rank")).otherwise(0.0)
+                    ).alias("old_rank")
+                )
+            out = (
+                msg.alias("e")
+                .join(r.alias("g"), F.col("e.src") == F.col("g.id"))
+                .groupBy(F.col("e.dst").alias("dst"))
+                .agg(*aggs)
             )
-            return vertices.join(
-                incoming, vertices.id == incoming.dst, "left"
-            ).select("id", F.coalesce("msum", F.lit(0.0)).alias("rank"))
+            cols = [F.col("dst").alias("id"), "rank"]
+            if carry_old:
+                cols.append("old_rank")
+            return out.select(*cols)
 
         it = 0
         while True:
             steps = self.unroll
             if self.max_iterations is not None:
                 steps = min(steps, self.max_iterations - it)
-            # chain of single references (plans/iterate.py rule): each
-            # level of the unrolled plan references the one below it once
+            steps = max(steps, 1)
+            # chain of single references (plans/iterate.py rule). With
+            # steps==1 the round carries old_rank (the previous round's
+            # NORMALIZED vector — r_in is always normalized), so the L1
+            # residual is a scan-agg over the materialized frame. Inside
+            # an unrolled chunk intermediate levels are unnormalized
+            # (deferred normalization), so the carried value would be on
+            # the wrong scale — chunks fall back to the chunk-start join.
+            fused = steps == 1
             new_ranks = ranks
-            for _ in range(max(steps, 1)):
-                new_ranks = one_round(new_ranks)
+            for k in range(steps):
+                new_ranks = one_round(new_ranks, carry_old=fused)
                 it += 1
             new_ranks = mat.cut(it, new_ranks)
             norm = new_ranks.agg(
@@ -294,19 +362,34 @@ class EigenvectorCentrality(Centrality):
             ).collect()[0]["s"]
             if not norm:
                 break
-            # cheap projection over the materialized frame — downstream
-            # queries (delta, next chunk) re-read the cached blocks
-            new_ranks = new_ranks.select(
-                "id", (F.col("rank") / F.lit(norm)).alias("rank")
-            )
-            delta = (
-                new_ranks.alias("new")
-                .join(ranks.alias("old"), "id")
-                .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d"))
-                .collect()[0]["d"]
-                or 0.0
-            )
-            ranks = new_ranks
+            if fused:
+                delta = (
+                    new_ranks.agg(
+                        F.sum(
+                            F.abs(F.col("rank") / F.lit(norm) - F.col("old_rank"))
+                        ).alias("d")
+                    ).collect()[0]["d"]
+                    or 0.0
+                )
+                normed = new_ranks.select(
+                    "id", (F.col("rank") / F.lit(norm)).alias("rank")
+                )
+            else:
+                normed = new_ranks.select(
+                    "id", (F.col("rank") / F.lit(norm)).alias("rank")
+                )
+                delta = (
+                    normed.alias("new")
+                    .join(ranks.alias("old"), "id")
+                    .agg(
+                        F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
+                    )
+                    .collect()[0]["d"]
+                    or 0.0
+                )
+            # cheap projection over the materialized frame — the next
+            # chunk re-reads the cached blocks
+            ranks = normed
             if (self.max_iterations is not None and it >= self.max_iterations) or (
                 delta <= self.tol
             ):
@@ -353,29 +436,52 @@ class KatzCentrality(Centrality):
                 g.degrees().agg(F.max("out_deg").alias("m")).collect()[0]["m"] or 0
             )
             alpha = 1.0 / (1.0 + maxdeg)
-        msg = base.select("src", "dst", "weight").persist()
         vertices = g.vertices
+        # permanent weight-0 self-rows (see PageRank._build_contrib):
+        # single state reference per round + old-score carry
+        msg = (
+            base.select("src", "dst", "weight", F.lit(False).alias("is_self"))
+            .unionAll(
+                vertices.select(
+                    F.col("id").alias("src"), F.col("id").alias("dst"),
+                    F.lit(0.0).alias("weight"), F.lit(True).alias("is_self"),
+                )
+            )
+            .persist()
+        )
         scores = local_cut(vertices.select("id", F.lit(0.0).alias("rank")))
         mat = Materializer()
-        def one_round(s_in):
+
+        def one_round(s_in, carry_old: bool = False):
             r = (
                 F.broadcast(s_in)
                 if n <= BROADCAST_VERTEX_LIMIT
                 else s_in.hint("shuffle_hash")
             )
-            incoming = (
-                msg.join(r, msg.src == r.id)
-                .groupBy("dst")
-                .agg(F.sum((F.lit(1.0) + F.col("rank")) * F.col("weight")).alias("msum"))
+            aggs = [
+                F.sum(
+                    (F.lit(1.0) + F.col("g.rank")) * F.col("e.weight")
+                ).alias("msum")
+            ]
+            if carry_old:
+                aggs.append(
+                    F.sum(
+                        F.when(F.col("e.is_self"), F.col("g.rank")).otherwise(0.0)
+                    ).alias("old_rank")
+                )
+            out = (
+                msg.alias("e")
+                .join(r.alias("g"), F.col("e.src") == F.col("g.id"))
+                .groupBy(F.col("e.dst").alias("dst"))
+                .agg(*aggs)
             )
-            return vertices.join(
-                incoming, vertices.id == incoming.dst, "left"
-            ).select(
-                "id",
-                (
-                    F.lit(alpha) * F.coalesce("msum", F.lit(0.0)) + F.lit(self.beta)
-                ).alias("rank"),
-            )
+            cols = [
+                F.col("dst").alias("id"),
+                (F.lit(alpha) * F.col("msum") + F.lit(self.beta)).alias("rank"),
+            ]
+            if carry_old:
+                cols.append("old_rank")
+            return out.select(*cols)
 
         it = 0
         prev_delta = None
@@ -383,18 +489,34 @@ class KatzCentrality(Centrality):
             steps = self.unroll
             if self.max_iterations is not None:
                 steps = min(steps, self.max_iterations - it)
+            steps = max(steps, 1)
+            # max|Δ| vs the previous ROUND: fused scan-agg when steps==1,
+            # chunk-start join otherwise (the carried value inside a
+            # chunk would compare non-adjacent rounds)
+            fused = steps == 1
             new_scores = scores
-            for _ in range(max(steps, 1)):
-                new_scores = one_round(new_scores)
+            for k in range(steps):
+                new_scores = one_round(new_scores, carry_old=fused)
                 it += 1
             new_scores = mat.cut(it, new_scores)
-            delta = (
-                new_scores.alias("new")
-                .join(scores.alias("old"), "id")
-                .agg(F.max(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d"))
-                .collect()[0]["d"]
-                or 0.0
-            )
+            if fused:
+                delta = (
+                    new_scores.agg(
+                        F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("d")
+                    ).collect()[0]["d"]
+                    or 0.0
+                )
+                new_scores = new_scores.select("id", "rank")
+            else:
+                delta = (
+                    new_scores.alias("new")
+                    .join(scores.alias("old"), "id")
+                    .agg(
+                        F.max(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
+                    )
+                    .collect()[0]["d"]
+                    or 0.0
+                )
             scores = new_scores
             if (self.max_iterations is not None and it >= self.max_iterations) or (
                 delta <= self.tol

@@ -88,8 +88,17 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # the replicated graph is GBs cached + shuffled; size the local JVM
     # accordingly (a real cluster sizes executors instead)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Pin the whole process tree to exactly `cpus` host CPUs. Without
+    # pinning, the "local[1]" leg silently borrows the other 31 host
+    # cores for JVM GC, JIT-compiler, and shuffle/netty daemon threads,
+    # overstating single-core throughput — a real 1-core executor gets
+    # none of that. cpuset pinning is the honest emulation of an N-core
+    # executor on a shared box.
+    argv = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        argv = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + argv
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        argv,
         capture_output=True,
         text=True,
         timeout=3600,
@@ -127,8 +136,10 @@ def main() -> None:
 Same job (PageRank power iteration, damping 0.85, {ITERS} fixed
 rounds), same input (`{sf_dir}` link graph × {REPLICAS} disjoint
 shifted copies = {low['edges']:,} weighted edges), two local parallelism
-levels, fresh JVM per level, caches warmed by one throwaway iteration
-before timing.
+levels, fresh JVM per level, each process tree cpuset-pinned (taskset)
+to exactly its core budget so GC/JIT/shuffle daemon threads cannot
+borrow unaccounted host cores, caches warmed by one full-length
+throwaway run before timing.
 
 | parallelism | iterations | wall s | edges/s per iteration |
 |---|---|---|---|
