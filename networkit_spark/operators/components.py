@@ -71,12 +71,23 @@ class ConnectedComponents(Algorithm):
     def _run(self) -> None:
         g = self.graph
         spark = g.edges.sparkSession
-        sym = g.symmetrized().select("src", "dst").where(F.col("src") != F.col("dst"))
-        # self-loop per vertex: the "min over neighbors AND self" gather
-        # becomes ONE join against labels (single-reference rule,
-        # plans/iterate.py) instead of gather + least(old, new)
+        sym = (
+            g.symmetrized()
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", F.lit(False).alias("is_self"))
+        )
+        # flagged self-loop per vertex: the "min over neighbors AND self"
+        # gather becomes ONE join against labels (single-reference rule,
+        # plans/iterate.py) instead of gather + least(old, new), and the
+        # flag carries each node's previous label through the same
+        # aggregation so the per-round changed-count is a scan of the
+        # materialized result, not an old⋈new join job
         sym = sym.unionAll(
-            g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+            g.vertices.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
         )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sym = sym.repartition(shuffle_parts, "src").persist()
@@ -88,6 +99,8 @@ class ConnectedComponents(Algorithm):
             resumed = self.store.latest(spark)
             if resumed is not None:
                 start_iter, labels = resumed
+                if "old_label" in labels.columns:
+                    labels = labels.select("id", "label")
         if labels is None:
             # allToSingletons (Partition.cpp:30-33): label = own id
             labels = g.vertices.select("id", F.col("id").alias("label"))
@@ -104,7 +117,13 @@ class ConnectedComponents(Algorithm):
             cand = (
                 sym.join(labels.hint("shuffle_hash"), sym.src == labels.id)
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    # exactly one self row per dst → its previous label
+                    F.max(F.when(F.col("is_self"), F.col("label"))).alias(
+                        "old_label"
+                    ),
+                )
             )
             # NOTE: no pointer-doubling shortcut — label[label[u]] is a
             # self-join of the in-flight state (two references), which
@@ -113,12 +132,7 @@ class ConnectedComponents(Algorithm):
             # diameter ~6-20, and the coarsening operator (coarsening.py)
             # is the scale accelerator if a pathological chain appears.
             cand = mat.cut(it, cand, None) if self.store is None else cand
-            changed = (
-                cand.alias("new")
-                .join(labels.alias("old"), "id")
-                .where(F.col("new.label") != F.col("old.label"))
-                .count()
-            )
+            changed = cand.where(F.col("label") != F.col("old_label")).count()
             if self.store is not None:
                 cand = mat.cut(
                     it,
@@ -129,7 +143,7 @@ class ConnectedComponents(Algorithm):
                         "iter_wall_s": round(time.time() - t0, 4),
                     },
                 )
-            labels = cand
+            labels = cand.select("id", "label")
             if changed == 0:
                 self._converged = True
                 break

@@ -72,15 +72,29 @@ class CoreDecomposition(Centrality):
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
+        # flagged self-row per vertex (single-reference pattern,
+        # plans/iterate.py): keeps every vertex — including isolated
+        # ones — in the round output without an outer join, and carries
+        # the node's previous h through the same aggregation so the
+        # change-count is a scan, not an old⋈new join. Safe inside the
+        # h-index: for ANY candidate value v, min(v, #nbrs with h≥v) ≤
+        # h-index, so the extra self candidate row never raises the max
+        # (self rows contribute 0 to the cumulative count).
         sym = canon.unionAll(
             canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).select("src", "dst", F.lit(False).alias("is_self"))
+        sym = sym.unionAll(
+            g.vertices.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
         )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         sym = sym.repartition(shuffle_parts, "src").persist()
 
         vertices = g.vertices
         deg = sym.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("h")
+            F.count(F.when(~F.col("is_self"), F.lit(1))).alias("h")
         )
         vals = vertices.join(deg, "id", "left").select(
             "id", F.coalesce("h", F.lit(0)).alias("h")
@@ -90,20 +104,23 @@ class CoreDecomposition(Centrality):
         def one_round(v_in):
             nbr = sym.join(
                 v_in.hint("shuffle_hash"), sym.src == v_in.id
-            ).select("dst", "h")
-            cnt = nbr.groupBy("dst", "h").agg(F.count(F.lit(1)).alias("c"))
+            ).select("dst", "h", "is_self")
+            cnt = nbr.groupBy("dst", "h").agg(
+                F.count(F.when(~F.col("is_self"), F.lit(1))).alias("c"),
+                F.max(F.when(F.col("is_self"), 1).otherwise(0)).alias("own"),
+            )
             w = (
                 Window.partitionBy("dst")
                 .orderBy(F.desc("h"))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            hidx = (
+            return (
                 cnt.withColumn("ge", F.sum("c").over(w))
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.max(F.least(F.col("h"), F.col("ge"))).alias("h"))
-            )
-            return vertices.join(hidx, "id", "left").select(
-                "id", F.coalesce("h", F.lit(0)).alias("h")
+                .agg(
+                    F.max(F.least(F.col("h"), F.col("ge"))).alias("h"),
+                    F.max(F.when(F.col("own") == 1, F.col("h"))).alias("old_h"),
+                )
             )
 
         it = 0
@@ -114,15 +131,10 @@ class CoreDecomposition(Centrality):
                 new_vals = one_round(new_vals)
                 it += 1
             new_vals = mat.cut(it, new_vals)
-            # values only decrease; change-count joins two materialized
-            # frames as a separate query
-            changed = (
-                new_vals.alias("new")
-                .join(vals.alias("old"), "id")
-                .where(F.col("new.h") != F.col("old.h"))
-                .count()
-            )
-            vals = new_vals
+            # values only decrease; the h-index map is deterministic, so
+            # "last round changed nothing" == fixpoint even under unroll
+            changed = new_vals.where(F.col("h") != F.col("old_h")).count()
+            vals = new_vals.select("id", "h")
             if changed == 0:
                 break
         else:
