@@ -317,14 +317,19 @@ class EffectiveDiameterApproximation(Algorithm):
         if n == 0:
             self._effective_diameter = 0.0
             return
-        # self-loop rows keep each node's own mask in the bit_or gather,
-        # so the round plan references `masks` exactly once
-        # (single-reference rule, plans/iterate.py)
+        # flagged self-loop rows keep each node's own mask in the bit_or
+        # gather — single reference to `masks` per round (plans/
+        # iterate.py) — and carry the previous mask through the same
+        # aggregation, so the changed-count is a scan of the materialized
+        # round output rather than an old⋈new join job per hop
         sym = (
             g.symmetrized()
-            .select("src", "dst")
+            .select("src", "dst", F.lit(False).alias("is_self"))
             .unionAll(
-                g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+                g.vertices.select(
+                    F.col("id").alias("src"), F.col("id").alias("dst"),
+                    F.lit(True).alias("is_self"),
+                )
             )
             .persist()
         )
@@ -354,16 +359,19 @@ class EffectiveDiameterApproximation(Algorithm):
             new_masks = (
                 sym.join(masks, sym.src == masks.id)
                 .groupBy(F.col("dst").alias("id"), "trial")
-                .agg(F.bit_or("mask").alias("mask"))
+                .agg(
+                    F.bit_or("mask").alias("mask"),
+                    # exactly one self row per (id, trial) → previous mask
+                    F.max(F.when(F.col("is_self"), F.col("mask"))).alias(
+                        "old_mask"
+                    ),
+                )
             )
             new_masks = mat.cut(hop, new_masks)
-            changed = (
-                new_masks.alias("new")
-                .join(masks.alias("old"), ["id", "trial"])
-                .where(F.col("new.mask") != F.col("old.mask"))
-                .count()
-            )
-            masks = new_masks
+            changed = new_masks.where(
+                F.col("mask") != F.col("old_mask")
+            ).count()
+            masks = new_masks.select("id", "trial", "mask")
             per_hop.append((hop, estimate(masks)))
             if changed == 0:
                 break
