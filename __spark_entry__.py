@@ -1043,21 +1043,203 @@ cn AS (
 ),
 agg AS (
   SELECT cn.u, cn.v, count(*) AS common_neighbors,
-         sum(CASE WHEN d.deg > 1 THEN 1.0 / ln(d.deg) ELSE 0.0 END) AS aa
+         sum(CASE WHEN d.deg > 1 THEN 1.0 / ln(d.deg) ELSE 0.0 END) AS aa,
+         sum(1.0 / d.deg) AS ra
   FROM cn JOIN degs d ON d.id = cn.w
   GROUP BY cn.u, cn.v
-)
+),
+nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT src FROM sym))
 SELECT p.u, p.v,
        coalesce(a.common_neighbors, 0) AS common_neighbors,
        round(CAST(coalesce(a.common_neighbors, 0) AS DOUBLE)
              / greatest(coalesce(du.deg, 0) + coalesce(dv.deg, 0)
                         - coalesce(a.common_neighbors, 0), 1), 6) AS jaccard,
        round(coalesce(a.aa, 0.0), 6) AS adamic_adar,
-       coalesce(du.deg, 0) * coalesce(dv.deg, 0) AS pref_attachment
+       coalesce(du.deg, 0) * coalesce(dv.deg, 0) AS pref_attachment,
+       round(coalesce(a.ra, 0.0), 6) AS resource_allocation,
+       round(CAST(coalesce(a.common_neighbors, 0) AS DOUBLE)
+             / sqrt(greatest(coalesce(du.deg, 0) * coalesce(dv.deg, 0), 1)),
+             6) AS neighborhood_distance,
+       coalesce(du.deg, 0) + coalesce(dv.deg, 0)
+         - coalesce(a.common_neighbors, 0) AS total_neighbors,
+       coalesce(du.deg, 0) AS u_degree,
+       coalesce(dv.deg, 0) AS v_degree,
+       -- reference AdjustedRandIndex verbatim incl. its set_union quirk:
+       -- b = c = |union| (AdjustedRandIndex.cpp:13-45)
+       round(CASE WHEN (aa2.a*aa2.b + aa2.a*aa2.c + 2*aa2.a*aa2.d
+                        + aa2.b*aa2.b + aa2.b*aa2.d + aa2.c*aa2.c
+                        + aa2.c*aa2.d) = 0 THEN 0.0
+             ELSE 2*(aa2.a*aa2.d - aa2.b*aa2.c)
+                  / (aa2.a*aa2.b + aa2.a*aa2.c + 2*aa2.a*aa2.d
+                     + aa2.b*aa2.b + aa2.b*aa2.d + aa2.c*aa2.c
+                     + aa2.c*aa2.d) END, 6) AS adjusted_rand
 FROM pairs p
 LEFT JOIN agg a ON a.u = p.u AND a.v = p.v
 LEFT JOIN degs du ON du.id = p.u
 LEFT JOIN degs dv ON dv.id = p.v
+CROSS JOIN nn
+CROSS JOIN LATERAL (
+  SELECT CAST(coalesce(a.common_neighbors, 0) AS DOUBLE) AS a,
+         CAST(coalesce(du.deg, 0) + coalesce(dv.deg, 0)
+              - coalesce(a.common_neighbors, 0) AS DOUBLE) AS b,
+         CAST(coalesce(du.deg, 0) + coalesce(dv.deg, 0)
+              - coalesce(a.common_neighbors, 0) AS DOUBLE) AS c,
+         CAST(nn.n AS DOUBLE)
+           - (coalesce(du.deg, 0) + coalesce(dv.deg, 0)
+              - coalesce(a.common_neighbors, 0)) AS d
+) aa2
+"""
+
+
+def q_neighbors_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NeighborsMeasureIndex over the same deterministic pair sample:
+    |CN| + #(length-3 u→a→b→v walks)."""
+    from networkit_spark.operators.linkprediction import neighbors_measure_scores
+
+    g = undirected_graph(spark, sf_dir)
+    pairs = (
+        g.canonical()
+        .where((F.col("src") + F.col("dst")) % 31 == 0)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    return neighbors_measure_scores(g, pairs)
+
+
+def q_neighbors_measure_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+pairs AS (
+  SELECT DISTINCT src AS u, dst AS v FROM edges WHERE (src + dst) % 31 = 0
+),
+cn AS (
+  SELECT p.u, p.v, count(*) AS c
+  FROM pairs p
+  JOIN adj a1 ON a1.src = p.u
+  JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
+  GROUP BY p.u, p.v
+),
+walks AS (
+  SELECT p.u, p.v, count(*) AS c
+  FROM pairs p
+  JOIN adj au ON au.src = p.u
+  JOIN adj m  ON m.src = au.dst
+  JOIN adj av ON av.src = p.v AND av.dst = m.dst
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v,
+       coalesce(cn.c, 0) + coalesce(walks.c, 0) AS neighbors_measure
+FROM pairs p
+LEFT JOIN cn ON cn.u = p.u AND cn.v = p.v
+LEFT JOIN walks ON walks.u = p.u AND walks.v = p.v
+"""
+
+
+def q_same_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SameCommunityIndex with an explicit deterministic partition
+    (id % 4) — exercises the operator's partition-join plumbing with a
+    SQL-expressible community structure."""
+    from networkit_spark.operators.linkprediction import same_community_scores
+
+    g = undirected_graph(spark, sf_dir)
+    pairs = (
+        g.canonical()
+        .where((F.col("src") + F.col("dst")) % 7 == 0)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    part = g.vertices.select("id", (F.col("id") % 4).alias("label"))
+    return same_community_scores(g, pairs, part)
+
+
+def q_same_community_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+pairs AS (
+  SELECT DISTINCT src AS u, dst AS v FROM edges WHERE (src + dst) % 7 = 0
+)
+SELECT u, v, CASE WHEN u % 4 = v % 4 THEN 1 ELSE 0 END AS same_community
+FROM pairs
+"""
+
+
+def q_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.degree import Sfigality
+
+    g = undirected_graph(spark, sf_dir)
+    sf = Sfigality(g).run()
+    return sf.scores().select("id", F.round("score", 6).alias("sfigality"))
+
+
+def q_sfigality_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj AS MATERIALIZED (SELECT src, dst FROM sym),
+degs AS (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src)
+SELECT n.id,
+       round(coalesce(s.score, 0.0), 6) AS sfigality
+FROM nodes n
+LEFT JOIN (
+  SELECT a.src AS id,
+         CAST(sum(CASE WHEN du.deg < dv.deg THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS score
+  FROM adj a
+  JOIN degs du ON du.id = a.src
+  JOIN degs dv ON dv.id = a.dst
+  GROUP BY a.src
+) s USING (id)
+"""
+
+
+def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.degree import LaplacianCentrality
+
+    g = undirected_graph(spark, sf_dir)
+    lc = LaplacianCentrality(g).run()
+    return lc.scores().select("id", F.round("score", 4).alias("laplacian"))
+
+
+def q_laplacian_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+wdeg AS (SELECT src AS id, sum(weight) AS wd FROM sym GROUP BY src),
+nbr AS (
+  SELECT s.src AS id,
+         sum(s.weight * (s.weight + 2.0 * w.wd)) AS t
+  FROM sym s JOIN wdeg w ON w.id = s.dst
+  GROUP BY s.src
+)
+SELECT n.id,
+       round(pow(floor(coalesce(w.wd, 0.0)), 2) + coalesce(b.t, 0.0), 4)
+         AS laplacian
+FROM nodes n
+LEFT JOIN wdeg w ON w.id = n.id
+LEFT JOIN nbr b ON b.id = n.id
+"""
+
+
+def q_local_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.degree import LocalPartitionCoverage
+
+    g = undirected_graph(spark, sf_dir)
+    part = g.vertices.select("id", (F.col("id") % 4).alias("label"))
+    lpc = LocalPartitionCoverage(g, part).run()
+    return lpc.scores().select("id", F.round("score", 6).alias("coverage"))
+
+
+def q_local_partition_coverage_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)}
+SELECT n.id,
+       round(coalesce(s.score, 0.0), 6) AS coverage
+FROM nodes n
+LEFT JOIN (
+  SELECT src AS id,
+         sum(CASE WHEN src % 4 = dst % 4 THEN weight ELSE 0.0 END)
+           / sum(weight) AS score
+  FROM sym GROUP BY src
+) s USING (id)
 """
 
 
@@ -1931,6 +2113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chance_corrected_triangle": q_chance_corrected_triangle,
         "multiscale": q_multiscale,
         "link_prediction": q_link_prediction,
+        "neighbors_measure": q_neighbors_measure,
+        "same_community": q_same_community,
+        "sfigality": q_sfigality,
+        "laplacian_centrality": q_laplacian,
+        "local_partition_coverage": q_local_partition_coverage,
         "eigenvector": q_eigenvector,
         "katz": q_katz,
         "assortativity": q_assortativity,
@@ -1983,6 +2170,11 @@ def oracle_sql() -> dict[str, str]:
         "chance_corrected_triangle": q_chance_corrected_triangle_sql(),
         "multiscale": q_multiscale_sql(),
         "link_prediction": q_link_prediction_sql(),
+        "neighbors_measure": q_neighbors_measure_sql(),
+        "same_community": q_same_community_sql(),
+        "sfigality": q_sfigality_sql(),
+        "laplacian_centrality": q_laplacian_sql(),
+        "local_partition_coverage": q_local_partition_coverage_sql(),
         "eigenvector": q_eigenvector_sql(),
         "katz": q_katz_sql(),
         "assortativity": q_assortativity_sql(),

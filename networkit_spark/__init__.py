@@ -17,7 +17,12 @@ their workflow 1:1 onto this engine.
 from networkit_spark.graph import Graph
 from networkit_spark.session import get_spark
 
-from networkit_spark.operators.degree import DegreeCentrality
+from networkit_spark.operators.degree import (
+    DegreeCentrality,
+    LaplacianCentrality,
+    LocalPartitionCoverage,
+    Sfigality,
+)
 from networkit_spark.operators.pagerank import PageRank
 from networkit_spark.operators.components import (
     ConnectedComponents,
@@ -66,6 +71,9 @@ from networkit_spark.operators.spanning import (
 
 __all__ = [
     "ApproxBetweenness",
+    "LaplacianCentrality",
+    "LocalPartitionCoverage",
+    "Sfigality",
     "Betweenness",
     "Closeness",
     "EstimateBetweenness",

@@ -50,11 +50,14 @@ from networkit_spark.operators.base import Centrality
 from networkit_spark.plans.iterate import CheckpointStore, Materializer, local_cut
 
 #: broadcast the ranks table when the vertex count is below this.
-#: Above it, the rank join runs as a shuffle join in which only the
-#: (small) ranks side moves — `contrib` is persisted hash-partitioned on
-#: the join key — so the per-round cost parallelizes instead of paying a
-#: serial driver collect+rebroadcast of the whole vertex state.
-BROADCAST_VERTEX_LIMIT = 100_000
+#: A rank row is ~16 B (long id + double), so 1M vertices ≈ 16 MB —
+#: under the session's 64 MB broadcast threshold and cheap to ship to
+#: every executor once per round. Above it, the rank join runs as a
+#: shuffle join in which only the (small) ranks side moves — `contrib`
+#: is persisted hash-partitioned on the join key — so the per-round cost
+#: parallelizes instead of paying a serial driver collect+rebroadcast of
+#: the whole vertex state.
+BROADCAST_VERTEX_LIMIT = 1_000_000
 
 
 class PageRank(Centrality):

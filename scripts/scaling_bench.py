@@ -104,8 +104,21 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         timeout=3600,
         env=env,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        log = os.path.join("/tmp", f"scaling_child_{cpus}.log")
+        with open(log, "w") as f:
+            f.write(f"rc={out.returncode}\nSTDOUT:\n{out.stdout}\nSTDERR:\n")
+            f.write(
+                "\n".join(
+                    l for l in out.stderr.splitlines() if "Stage" not in l
+                )
+            )
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) produced no result; rc="
+            f"{out.returncode}, log at {log}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -237,3 +237,91 @@ def test_chance_corrected_triangle_scores(spark):
     assert s[(0, 1)] == pytest.approx(2.0)
     assert s[(0, 2)] == pytest.approx(1.0)
     assert s[(2, 3)] == pytest.approx(1.0)
+
+
+def test_sfigality_path4(spark):
+    from networkit_spark.operators.degree import Sfigality
+
+    # path 0-1-2-3: deg 0,3=1; deg 1,2=2
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)])
+    s = {r["id"]: r["score"] for r in Sfigality(g).run().scores().collect()}
+    # endpoints: their single neighbor has higher degree -> 1/1
+    # middles: one neighbor (endpoint) lower, one (middle) equal -> 0/2
+    assert s[0] == pytest.approx(1.0)
+    assert s[3] == pytest.approx(1.0)
+    assert s[1] == pytest.approx(0.0)
+    assert s[2] == pytest.approx(0.0)
+
+
+def test_laplacian_centrality_star(spark):
+    from networkit_spark.operators.degree import LaplacianCentrality
+
+    # star center 0 with leaves 1..3, unit weights
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (0, 3)])
+    s = {
+        r["id"]: r["score"]
+        for r in LaplacianCentrality(g).run().scores().collect()
+    }
+    # center: 3^2 + 3 leaves * 1*(1+2*1) = 9 + 9 = 18
+    # leaf: 1^2 + 1*(1+2*3) = 1 + 7 = 8
+    assert s[0] == pytest.approx(18.0)
+    assert s[1] == pytest.approx(8.0)
+    # normalized: total energy = (9+1+1+1) + sum of w^2 both dirs (6*1) = 18
+    sn = {
+        r["id"]: r["score"]
+        for r in LaplacianCentrality(g, normalized=True).run().scores().collect()
+    }
+    assert sn[0] == pytest.approx(1.0)
+    assert sn[1] == pytest.approx(8.0 / 18.0)
+
+
+def test_local_partition_coverage(spark):
+    from networkit_spark.operators.degree import LocalPartitionCoverage
+
+    # triangle 0-1-2 + pendant 2-3; partition {0,1} | {2,3}
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    s = {
+        r["id"]: r["score"]
+        for r in LocalPartitionCoverage(g, part).run().scores().collect()
+    }
+    assert s[0] == pytest.approx(1 / 2)  # nbrs 1 (in), 2 (out)
+    assert s[2] == pytest.approx(1 / 3)  # nbrs 0,1 (out), 3 (in)
+    assert s[3] == pytest.approx(1.0)
+
+
+def test_link_prediction_new_indices(spark):
+    from networkit_spark.operators.linkprediction import (
+        link_prediction_scores,
+        neighbors_measure_scores,
+        same_community_scores,
+    )
+
+    # square 0-1-2-3-0 with diagonal 0-2
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    pairs = spark.createDataFrame([(1, 3)], "u long, v long")
+    row = link_prediction_scores(g, pairs).collect()[0]
+    # N(1)={0,2}, N(3)={0,2}: CN=2, deg1=deg3=2, union=2
+    assert row["common_neighbors"] == 2
+    assert row["resource_allocation"] == pytest.approx(
+        round(1 / 3 + 1 / 3, 6)
+    )  # deg(0)=deg(2)=3
+    assert row["neighborhood_distance"] == pytest.approx(1.0)  # 2/sqrt(4)
+    assert row["total_neighbors"] == 2
+    assert row["u_degree"] == 2 and row["v_degree"] == 2
+    # adjusted_rand (reference set_union quirk): a=2, b=c=2, d=4-2=2
+    # denom = ab+ac+2ad+b^2+bd+c^2+cd = 4+4+8+4+4+4+4 = 32
+    # 2(ad - bc)/denom = 2(4-4)/32 = 0
+    assert row["adjusted_rand"] == pytest.approx(0.0)
+
+    nm = neighbors_measure_scores(g, pairs).collect()[0]
+    # CN=2; walks 1-a-b-3 with a in {0,2}, b in {0,2}, edge(a,b): (0,2),(2,0)
+    assert nm["neighbors_measure"] == 4
+
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    sc = same_community_scores(g, pairs, part).collect()[0]
+    assert sc["same_community"] == 0
