@@ -403,6 +403,54 @@ LEFT JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
 """
 
 
+def q_simmelian_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric Simmelian backbone: per-edge prefix-ranked common-
+    neighbor overlap (maxRank=5)."""
+    from networkit_spark.operators.sparsification import simmelian_overlap_scores
+
+    g = undirected_graph(spark, sf_dir)
+    return simmelian_overlap_scores(g, max_rank=5).select(
+        "u", "v", F.col("score").cast("long").alias("overlap")
+    )
+
+
+def q_simmelian_overlap_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_SQL_ORIENTED},
+epairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
+  UNION ALL SELECT least(a, c) AS u, greatest(a, c) AS v FROM tris
+  UNION ALL SELECT least(b, c) AS u, greatest(b, c) AS v FROM tris
+),
+tri AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, coalesce(p.cnt, 0) AS score
+  FROM edges e
+  LEFT JOIN (SELECT u, v, count(*) AS cnt FROM epairs GROUP BY u, v) p
+    ON p.u = e.src AND p.v = e.dst
+),
+ranked AS MATERIALIZED (
+  SELECT ego, alter, rank() OVER (PARTITION BY ego ORDER BY score DESC) - 1
+           AS rnk
+  FROM (
+    SELECT u AS ego, v AS alter, score FROM tri
+    UNION ALL
+    SELECT v AS ego, u AS alter, score FROM tri
+  )
+  QUALIFY rnk <= 5
+),
+ov AS (
+  SELECT t.u, t.v, count(*) AS c
+  FROM tri t
+  JOIN ranked r1 ON r1.ego = t.u
+  JOIN ranked r2 ON r2.ego = t.v AND r2.alter = r1.alter
+  GROUP BY t.u, t.v
+)
+SELECT t.u, t.v, coalesce(ov.c, 0) AS overlap
+FROM tri t LEFT JOIN ov ON ov.u = t.u AND ov.v = t.v
+"""
+
+
 def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = _cc_run(spark, sf_dir)
     return (
@@ -2089,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "lcc": q_lcc,
         "triangle_edge_score": q_triangle_edge_score,
+        "simmelian_overlap": q_simmelian_overlap,
         "largest_component": q_largest_component,
         "modularity": q_modularity,
         "kcore": q_kcore,
@@ -2147,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": q_triangles_sql(),
         "lcc": q_lcc_sql(),
         "triangle_edge_score": q_triangle_edge_score_sql(),
+        "simmelian_overlap": q_simmelian_overlap_sql(),
         "largest_component": q_largest_component_sql(),
         "modularity": q_modularity_sql(),
         "kcore": q_kcore_sql(),

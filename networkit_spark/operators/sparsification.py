@@ -353,3 +353,58 @@ def multiscale_scores(graph: Graph) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.max("p").alias("score"))
     )
+
+
+def simmelian_overlap_scores(
+    graph: Graph,
+    max_rank: int = 10,
+    triangle_scores: DataFrame | None = None,
+) -> DataFrame:
+    """Parametric Simmelian backbone overlap per canonical edge
+    (``cpp/sparsification/SimmelianOverlapScore.cpp:16-31``,
+    ``SimmelianScore.cpp:16-118``).
+
+    Each node ranks its neighbors by the triangle count of the
+    connecting edge ("simmelianness"), strongest first, with
+    competition ranking (rank 0 best; ties share a rank; next rank
+    skips by group size — ``SimmelianScore.cpp:29-42``). The score of
+    edge (u, v) is the number of common neighbors w with
+    ``rank_u(w) <= max_rank`` AND ``rank_v(w) <= max_rank`` — the
+    incremental set-matching in ``getOverlap`` computes exactly this
+    prefix intersection.
+
+    Spark plan: triangle edge scores → per-ego ``rank()`` window
+    (partitioned by ego — parallel over nodes, no global sort) →
+    prefix-filtered adjacency self-join on the common neighbor.
+    """
+    from pyspark.sql import Window
+
+    from networkit_spark.operators.triangles import TriangleEdgeScore
+
+    if triangle_scores is None:
+        triangle_scores = TriangleEdgeScore(graph).run().edge_scores()
+    tri = triangle_scores.select("u", "v", "score")
+    nbrs = tri.select(
+        F.col("u").alias("ego"), F.col("v").alias("alter"), "score"
+    ).unionAll(
+        tri.select(F.col("v").alias("ego"), F.col("u").alias("alter"), "score")
+    )
+    w = Window.partitionBy("ego").orderBy(F.desc("score"))
+    ranked = (
+        nbrs.select("ego", "alter", (F.rank().over(w) - 1).alias("rnk"))
+        .where(F.col("rnk") <= max_rank)
+    )
+    ru = ranked.select(F.col("ego").alias("u"), F.col("alter").alias("w"))
+    rv = ranked.select(F.col("ego").alias("v"), F.col("alter").alias("w"))
+    overlap = (
+        tri.select("u", "v")
+        .join(ru, "u")
+        .join(rv, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return (
+        tri.select("u", "v")
+        .join(overlap, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("score", F.lit(0)).alias("score"))
+    )

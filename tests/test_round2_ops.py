@@ -325,3 +325,23 @@ def test_link_prediction_new_indices(spark):
     )
     sc = same_community_scores(g, pairs, part).collect()[0]
     assert sc["same_community"] == 0
+
+
+def test_simmelian_overlap_scores(spark):
+    from networkit_spark.operators.sparsification import simmelian_overlap_scores
+
+    # square 0-1-2-3-0 with diagonal 0-2; tri counts: (0,2)=2, rest=1
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    s0 = {
+        (r["u"], r["v"]): r["score"]
+        for r in simmelian_overlap_scores(g, max_rank=0).collect()
+    }
+    # rank 0 neighborhoods: 0->{2}; 1->{0,2} (tie); 2->{0}; 3->{0,2} (tie)
+    assert s0[(0, 1)] == 1  # CN={2}: rank_0(2)=0, rank_1(2)=0
+    assert s0[(0, 2)] == 0  # CN={1,3}: both rank 1 at node 0
+    assert s0[(1, 2)] == 1 and s0[(2, 3)] == 1 and s0[(0, 3)] == 1
+    s1 = {
+        (r["u"], r["v"]): r["score"]
+        for r in simmelian_overlap_scores(g, max_rank=1).collect()
+    }
+    assert s1[(0, 2)] == 2
