@@ -1291,6 +1291,30 @@ LEFT JOIN (
 """
 
 
+def q_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MissingLinksFinder.findAtDistance(2): non-adjacent pairs with at
+    least one common neighbor (exact distance 2), u < v."""
+    from networkit_spark.operators.linkprediction import missing_links_at_distance
+
+    g = undirected_graph(spark, sf_dir, 256)
+    return missing_links_at_distance(g, 2)
+
+
+def q_missing_links_sql() -> str:
+    return f"""
+WITH {_sql_undirected(256)},
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+two_hop AS (
+  SELECT DISTINCT a1.src AS u, a2.dst AS v
+  FROM adj a1 JOIN adj a2 ON a2.src = a1.dst
+  WHERE a1.src < a2.dst
+)
+SELECT t.u, t.v FROM two_hop t
+LEFT JOIN adj e ON e.src = t.u AND e.dst = t.v
+WHERE e.src IS NULL
+"""
+
+
 V_TINY = 256  # node-space for the transitive-closure-oracle (SCC) query
 
 
@@ -2163,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiscale": q_multiscale,
         "link_prediction": q_link_prediction,
         "neighbors_measure": q_neighbors_measure,
+        "missing_links": q_missing_links,
         "same_community": q_same_community,
         "sfigality": q_sfigality,
         "laplacian_centrality": q_laplacian,
@@ -2221,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "multiscale": q_multiscale_sql(),
         "link_prediction": q_link_prediction_sql(),
         "neighbors_measure": q_neighbors_measure_sql(),
+        "missing_links": q_missing_links_sql(),
         "same_community": q_same_community_sql(),
         "sfigality": q_sfigality_sql(),
         "laplacian_centrality": q_laplacian_sql(),

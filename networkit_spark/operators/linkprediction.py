@@ -189,3 +189,141 @@ def same_community_scores(
             .alias("same_community"),
         )
     )
+
+
+def missing_links_at_distance(graph: Graph, k: int = 2) -> DataFrame:
+    """MissingLinksFinder.findAtDistance(k)
+    (``cpp/linkprediction/MissingLinksFinder.cpp:24-76``): all node
+    pairs ``(u, v)`` with ``u < v`` at BFS distance exactly ``k`` —
+    i.e. non-adjacent pairs whose shortest path is ``k``.
+
+    Spark plan: k rounds of frontier ⋈ adjacency with an anti-join
+    against the visited set — the batched all-sources BFS truncated at
+    depth k. For the default k=2 this is one wedge join minus edges.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from networkit_spark.plans.iterate import local_cut
+
+    adj = _adjacency(graph)
+    visited = graph.vertices.select(
+        F.col("id").alias("root"), F.col("id").alias("node")
+    )
+    frontier = visited
+    for i in range(k):
+        step = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = step.join(visited, ["root", "node"], "left_anti")
+        visited = visited.unionAll(frontier)
+        # lineage cut only once the plan tree is deep enough to matter —
+        # k<=3 stays a single lazy plan (one job, no materializations)
+        if k > 3 and i < k - 1:
+            frontier = local_cut(frontier)
+            visited = local_cut(visited)
+    return (
+        frontier.where(F.col("root") < F.col("node"))
+        .select(F.col("root").alias("u"), F.col("node").alias("v"))
+    )
+
+
+def threshold_by_score(predictions: DataFrame, min_score: float) -> DataFrame:
+    """LinkThresholder::byScore (``LinkThresholder.cpp:15-31``): keep
+    pairs with score >= minScore (reference drops ``< minScore``)."""
+    return predictions.where(F.col("score") >= min_score).select("u", "v")
+
+
+def threshold_by_count(predictions: DataFrame, num_links: int) -> DataFrame:
+    """LinkThresholder::byCount (``LinkThresholder.cpp:33-47``): the
+    numLinks highest-scored pairs (score desc, ties by ascending pair —
+    ``PredictionsSorter.cpp`` ConcreteScoreComp)."""
+    ranked = predictions.orderBy(
+        F.desc("score"), F.asc("u"), F.asc("v")
+    ).limit(num_links)
+    return ranked.select("u", "v")
+
+
+def threshold_by_percentage(predictions: DataFrame, pct: float) -> DataFrame:
+    """LinkThresholder::byPercentage (``LinkThresholder.cpp:50-55``)."""
+    if pct < 0 or pct > 1:
+        raise ValueError("percentage not in [0, 1]")
+    n = predictions.count()
+    return threshold_by_count(predictions, int(pct * n))
+
+
+def random_link_sample(graph: Graph, num_links: int, seed: int = 42) -> DataFrame:
+    """RandomLinkSampler (``linkprediction.pyx:689-740``): a uniform
+    random subset of numLinks edges. Deterministic here: edges ranked
+    by a seeded hash — same seed, same sample, any cluster size."""
+    canon = graph.canonical().select("src", "dst")
+    return (
+        canon.orderBy(F.xxhash64("src", "dst", F.lit(seed)))
+        .limit(num_links)
+        .select("src", "dst")
+    )
+
+
+def roc_points(predictions: DataFrame, test_edges: DataFrame) -> DataFrame:
+    """ROCMetric (``cpp/linkprediction/ROCMetric.cpp``): sweep the
+    predictions from highest to lowest score; one point per threshold
+    index with ``(fpr, tpr)`` cumulative rates against the test edge
+    set. Window cumulative sums — no driver loop.
+    """
+    te = test_edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"),
+        F.lit(1).alias("is_pos"),
+    ).distinct()
+    labeled = (
+        predictions.join(te, ["u", "v"], "left")
+        .select(
+            "u", "v", "score", F.coalesce("is_pos", F.lit(0)).alias("is_pos")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = labeled.agg(
+        F.sum("is_pos").alias("P"), F.sum(1 - F.col("is_pos")).alias("N")
+    ).collect()[0]
+    pos, neg = totals["P"] or 0, totals["N"] or 0
+    return labeled.select(
+        (F.sum(1 - F.col("is_pos")).over(w) / F.lit(max(neg, 1))).alias("fpr"),
+        (F.sum("is_pos").over(w) / F.lit(max(pos, 1))).alias("tpr"),
+    )
+
+
+def precision_recall_points(
+    predictions: DataFrame, test_edges: DataFrame
+) -> DataFrame:
+    """PrecisionRecallMetric (``cpp/linkprediction/PrecisionRecallMetric
+    .cpp``): ``(recall, precision)`` per threshold index, highest score
+    first."""
+    te = test_edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"),
+        F.lit(1).alias("is_pos"),
+    ).distinct()
+    labeled = (
+        predictions.join(te, ["u", "v"], "left")
+        .select(
+            "u", "v", "score", F.coalesce("is_pos", F.lit(0)).alias("is_pos")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = labeled.agg(F.sum("is_pos").alias("P")).collect()[0]
+    pos = totals["P"] or 0
+    tp = F.sum("is_pos").over(w)
+    k = F.count(F.lit(1)).over(w)
+    return labeled.select(
+        (tp / F.lit(max(pos, 1))).alias("recall"),
+        (tp / k).alias("precision"),
+    )

@@ -345,3 +345,44 @@ def test_simmelian_overlap_scores(spark):
         for r in simmelian_overlap_scores(g, max_rank=1).collect()
     }
     assert s1[(0, 2)] == 2
+
+
+def test_missing_links_and_thresholders(spark):
+    from networkit_spark.operators.linkprediction import (
+        missing_links_at_distance,
+        precision_recall_points,
+        random_link_sample,
+        roc_points,
+        threshold_by_count,
+        threshold_by_percentage,
+        threshold_by_score,
+    )
+
+    # path 0-1-2-3 plus edge 1-3: distances
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (1, 3)])
+    d2 = {(r["u"], r["v"]) for r in missing_links_at_distance(g, 2).collect()}
+    assert d2 == {(0, 2), (0, 3)}
+    assert missing_links_at_distance(g, 3).count() == 0
+
+    preds = spark.createDataFrame(
+        [(0, 2, 0.9), (0, 3, 0.5), (1, 2, 0.2)], "u long, v long, score double"
+    )
+    assert {
+        (r["u"], r["v"]) for r in threshold_by_score(preds, 0.5).collect()
+    } == {(0, 2), (0, 3)}
+    assert threshold_by_count(preds, 1).collect()[0]["u"] == 0
+    assert threshold_by_percentage(preds, 2 / 3).count() == 2
+    assert random_link_sample(g, 2).count() == 2
+    # sampling is deterministic for a fixed seed
+    s1 = {(r["src"], r["dst"]) for r in random_link_sample(g, 2, seed=7).collect()}
+    s2 = {(r["src"], r["dst"]) for r in random_link_sample(g, 2, seed=7).collect()}
+    assert s1 == s2
+
+    test_edges = spark.createDataFrame([(0, 2)], "src long, dst long")
+    roc = roc_points(preds, test_edges).collect()
+    # first threshold: the true edge (0,2) -> tpr=1 immediately, fpr=0
+    assert roc[0]["tpr"] == pytest.approx(1.0)
+    assert roc[0]["fpr"] == pytest.approx(0.0)
+    pr = precision_recall_points(preds, test_edges).collect()
+    assert pr[0]["precision"] == pytest.approx(1.0)
+    assert pr[-1]["precision"] == pytest.approx(1 / 3)
