@@ -327,3 +327,99 @@ def precision_recall_points(
         (tp / F.lit(max(pos, 1))).alias("recall"),
         (tp / k).alias("precision"),
     )
+
+
+def algebraic_distance_scores(
+    graph: Graph,
+    pairs: DataFrame,
+    num_systems: int = 10,
+    num_iterations: int = 30,
+    omega: float = 0.5,
+    norm: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """AlgebraicDistanceIndex (``cpp/linkprediction/AlgebraicDistance
+    Index.cpp:18-70``): smooth ``num_systems`` random load vectors by
+    ``load[u] ← (1−ω)·load[u] + ω·Σ_v w·load[v] / wdeg(u)`` for
+    ``num_iterations`` Jacobi rounds; the index of a pair is the
+    p-norm (or max-norm for ``norm=0``) of the endpoint load
+    differences across systems.
+
+    Differences from the reference, by design: initial loads come from
+    a seeded hash (``xxhash64(id, sys, seed)``) instead of a global
+    RNG — bit-reproducible at any parallelism/cluster size, which the
+    reference's shared-memory ``Aux::Random`` is not.
+
+    Spark plan: state = (id, sys, load) rows; per round ONE gather
+    join against the static normalized message matrix (w/wdeg, with
+    flagged self-rows carrying the (1−ω) term — single state reference
+    per round, plans/iterate.py), lineage cut per round.
+    """
+    from networkit_spark.plans.iterate import local_cut
+
+    sym = graph.symmetrized().select("src", "dst", "weight")
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wdeg")
+    )
+    # normalize by the GATHERING endpoint's weighted degree: the round
+    # computes load[dst] ← (1−ω)·load[dst] + ω·Σ_src w·load[src]/wdeg(dst)
+    msg = (
+        sym.join(wdeg, sym.dst == wdeg.id)
+        .select(
+            "src", "dst",
+            (F.lit(omega) * F.col("weight") / F.col("wdeg")).alias("frac"),
+            F.lit(False).alias("is_self"),
+        )
+        .unionAll(
+            graph.vertices.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"),
+                F.lit(1.0 - omega).alias("frac"), F.lit(True).alias("is_self"),
+            )
+        )
+        .persist()
+    )
+    systems = msg.sparkSession.range(num_systems).select(
+        F.col("id").alias("sys")
+    )
+    # uniform [0,1) from the sign-normalized 64-bit hash
+    loads = graph.vertices.crossJoin(systems).select(
+        "id", "sys",
+        (
+            (F.xxhash64("id", "sys", F.lit(seed)).cast("double")
+             / F.lit(float(2**63))) / 2.0 + 0.5
+        ).alias("load"),
+    )
+    loads = local_cut(loads)
+    for _ in range(num_iterations):
+        loads = local_cut(
+            msg.join(
+                loads.hint("shuffle_hash"),
+                (msg.src == loads.id),
+            )
+            .groupBy(F.col("dst").alias("out_id"), "sys")
+            .agg(F.sum(F.col("frac") * F.col("load")).alias("load"))
+            .select(F.col("out_id").alias("id"), "sys", "load")
+        )
+    lu = loads.select(
+        F.col("id").alias("u"), "sys", F.col("load").alias("lu")
+    )
+    lv = loads.select(
+        F.col("id").alias("v"), "sys", F.col("load").alias("lv")
+    )
+    per_sys = (
+        pairs.select("u", "v")
+        .join(lu, "u")
+        .join(lv, ["v", "sys"])
+        .select("u", "v", F.abs(F.col("lu") - F.col("lv")).alias("d"))
+    )
+    if norm == 0:  # MAX_NORM (AlgebraicDistanceIndex.cpp:52-58)
+        agg = per_sys.groupBy("u", "v").agg(F.max("d").alias("score"))
+    else:
+        agg = per_sys.groupBy("u", "v").agg(
+            F.pow(F.sum(F.pow("d", norm)), 1.0 / norm).alias("score")
+        )
+    return (
+        pairs.select("u", "v")
+        .join(agg, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

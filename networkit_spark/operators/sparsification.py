@@ -408,3 +408,20 @@ def simmelian_overlap_scores(
         .join(overlap, ["u", "v"], "left")
         .select("u", "v", F.coalesce("score", F.lit(0)).alias("score"))
     )
+
+
+def random_edge_scores(graph: Graph, seed: int = 42) -> DataFrame:
+    """RandomEdgeScore (``cpp/sparsification/RandomEdgeScore.cpp:
+    18-28``): a uniform random score per canonical edge. Deterministic
+    here: seeded ``xxhash64`` mapped to [0, 1) — reproducible at any
+    parallelism, unlike the reference's shared RNG."""
+    canon = graph.canonical().select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return canon.select(
+        "u", "v",
+        (
+            (F.xxhash64("u", "v", F.lit(seed)).cast("double")
+             / F.lit(float(2**63))) / 2.0 + 0.5
+        ).alias("score"),
+    )

@@ -386,3 +386,38 @@ def test_missing_links_and_thresholders(spark):
     pr = precision_recall_points(preds, test_edges).collect()
     assert pr[0]["precision"] == pytest.approx(1.0)
     assert pr[-1]["precision"] == pytest.approx(1 / 3)
+
+
+def test_algebraic_distance_index(spark):
+    from networkit_spark.operators.linkprediction import algebraic_distance_scores
+
+    # path 0-1-2-3-4-5: after smoothing, adjacent nodes are closer than
+    # the path endpoints
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    pairs = spark.createDataFrame([(0, 1), (0, 5)], "u long, v long")
+    s = {
+        (r["u"], r["v"]): r["score"]
+        for r in algebraic_distance_scores(
+            g, pairs, num_systems=4, num_iterations=6
+        ).collect()
+    }
+    assert s[(0, 1)] < s[(0, 5)]
+    # deterministic: same seed -> identical scores
+    s2 = {
+        (r["u"], r["v"]): r["score"]
+        for r in algebraic_distance_scores(
+            g, pairs, num_systems=4, num_iterations=6
+        ).collect()
+    }
+    assert s == s2
+
+
+def test_random_edge_scores(spark):
+    from networkit_spark.operators.sparsification import random_edge_scores
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)])
+    s = random_edge_scores(g).collect()
+    assert len(s) == 3
+    assert all(0.0 <= r["score"] < 1.0 for r in s)
+    s2 = random_edge_scores(g).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, s2))  # deterministic
