@@ -421,3 +421,20 @@ def test_random_edge_scores(spark):
     assert all(0.0 <= r["score"] < 1.0 for r in s)
     s2 = random_edge_scores(g).collect()
     assert sorted(map(tuple, s)) == sorted(map(tuple, s2))  # deterministic
+
+
+def test_group_degree_star_plus_path(spark):
+    from networkit_spark.operators.group import GroupDegree
+
+    # star center 0 (leaves 1-4) plus disjoint path 5-6-7
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7)]
+    )
+    gd = GroupDegree(g, k=2).run()
+    # greedy: first pick 0 (covers 4), then 6 (covers 5,7 -> +2)
+    assert gd.group_max_degree() == [0, 6]
+    # reachable = {0..4} u {5,6,7} = 8 nodes, minus k=2 -> 6
+    assert gd.get_score() == 6
+    gd2 = GroupDegree(g, k=2, count_group_nodes=True).run()
+    assert gd2.group_max_degree() == [0, 6]
+    assert gd2.get_score() == 8
