@@ -1291,6 +1291,56 @@ LEFT JOIN (
 """
 
 
+def q_permanence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PermanenceCentrality against the deterministic id%4 partition."""
+    from networkit_spark.operators.degree import PermanenceCentrality
+
+    g = undirected_graph(spark, sf_dir)
+    part = g.vertices.select("id", (F.col("id") % 4).alias("label"))
+    pc = PermanenceCentrality(g, part).run()
+    return pc.scores().select("id", F.round("score", 6).alias("permanence"))
+
+
+def q_permanence_sql() -> str:
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+adj2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+st AS (
+  SELECT src AS id, dst % 4 AS nl, src % 4 AS lc, count(*) AS s
+  FROM adj2 GROUP BY 1, 2, 3
+),
+pn AS (
+  SELECT id,
+         sum(CASE WHEN nl = lc THEN s END) AS internal,
+         max(CASE WHEN nl <> lc THEN s END) AS emax,
+         sum(s) AS deg
+  FROM st GROUP BY id
+),
+{_SQL_ORIENTED},
+corners AS (
+  SELECT a AS u, b AS y, c AS z FROM tris
+  UNION ALL SELECT b AS u, a AS y, c AS z FROM tris
+  UNION ALL SELECT c AS u, a AS y, b AS z FROM tris
+),
+ti AS (
+  SELECT u AS id, count(*) AS tri FROM corners
+  WHERE y % 4 = u % 4 AND z % 4 = u % 4 GROUP BY u
+)
+SELECT n.id,
+       round(CASE WHEN coalesce(pn.deg, 0) > 0 THEN
+         CAST(coalesce(pn.internal, 0) AS DOUBLE)
+           / coalesce(pn.emax, 1) / pn.deg
+         - (1.0 - CASE WHEN coalesce(pn.internal, 0) >= 2
+              THEN coalesce(ti.tri, 0)
+                   / (0.5 * pn.internal * (pn.internal - 1.0))
+              ELSE 0.0 END)
+       ELSE 0.0 END, 6) AS permanence
+FROM nodes n
+LEFT JOIN pn ON pn.id = n.id
+LEFT JOIN ti ON ti.id = n.id
+"""
+
+
 def q_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MissingLinksFinder.findAtDistance(2): non-adjacent pairs with at
     least one common neighbor (exact distance 2), u < v."""
@@ -2192,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfigality": q_sfigality,
         "laplacian_centrality": q_laplacian,
         "local_partition_coverage": q_local_partition_coverage,
+        "permanence": q_permanence,
         "eigenvector": q_eigenvector,
         "katz": q_katz,
         "assortativity": q_assortativity,
@@ -2251,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "sfigality": q_sfigality_sql(),
         "laplacian_centrality": q_laplacian_sql(),
         "local_partition_coverage": q_local_partition_coverage_sql(),
+        "permanence": q_permanence_sql(),
         "eigenvector": q_eigenvector_sql(),
         "katz": q_katz_sql(),
         "assortativity": q_assortativity_sql(),

@@ -186,3 +186,97 @@ class LocalPartitionCoverage(Centrality):
         self._scores = g.vertices.join(per_node, "id", "left").select(
             "id", F.coalesce("score", F.lit(0.0)).alias("score")
         )
+
+
+class PermanenceCentrality(Centrality):
+    """Permanence of each node w.r.t. a partition
+    (``cpp/centrality/PermanenceCentrality.cpp:14-160``):
+
+    ``perm(u) = I(u) / E_max(u) / deg(u) − (1 − c_in(u))`` where
+    I(u) = #neighbors in u's community, E_max(u) = the largest
+    neighbor count in any OTHER single community (1 if none —
+    ``PermanenceCentrality.cpp:157``), and c_in(u) = clustering among
+    u's same-community neighbors: triangles (u,y,z) with
+    ``P[y]==P[z]==P[u]``, divided by I(I−1)/2 (0 when I < 2).
+
+    Spark plan: one strength aggregation over the label-joined
+    adjacency + the shared triangle enumeration exploded per corner —
+    no iteration.
+    """
+
+    def __init__(self, graph: Graph, partition) -> None:
+        if graph.directed:
+            raise ValueError("PermanenceCentrality requires an undirected graph")
+        super().__init__(graph)
+        self.partition = partition
+
+    def _run(self) -> None:
+        from networkit_spark.operators.triangles import (
+            _oriented_edges,
+            triangle_rows,
+        )
+
+        g = self.graph
+        part = self.partition.select("id", "label")
+        adj = (
+            g.symmetrized()
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        lu = part.select(F.col("id").alias("src"), F.col("label").alias("lc"))
+        lv = part.select(F.col("id").alias("dst"), F.col("label").alias("ln"))
+        labeled = adj.join(lu, "src").join(lv, "dst")
+        strength = labeled.groupBy(
+            F.col("src").alias("id"), F.col("ln").alias("nl"), "lc"
+        ).agg(F.count(F.lit(1)).alias("s"))
+        per_node = strength.groupBy("id").agg(
+            F.sum(F.when(F.col("nl") == F.col("lc"), F.col("s"))).alias("internal"),
+            F.max(F.when(F.col("nl") != F.col("lc"), F.col("s"))).alias("emax"),
+            F.sum("s").alias("deg"),
+        )
+
+        canon, oriented, _ = _oriented_edges(g)
+        tris = triangle_rows(g, oriented.persist(), strategy="auto")
+        corners = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("y"),
+                             F.col("c").alias("z")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("y"),
+                             F.col("c").alias("z")),
+                    F.struct(F.col("c").alias("u"), F.col("a").alias("y"),
+                             F.col("b").alias("z")),
+                )
+            ).alias("t")
+        ).select("t.u", "t.y", "t.z")
+        pc = part.select(F.col("id").alias("u"), F.col("label").alias("l_u"))
+        py = part.select(F.col("id").alias("y"), F.col("label").alias("l_y"))
+        pz = part.select(F.col("id").alias("z"), F.col("label").alias("l_z"))
+        tri_in = (
+            corners.join(pc, "u").join(py, "y").join(pz, "z")
+            .where((F.col("l_y") == F.col("l_u")) & (F.col("l_z") == F.col("l_u")))
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("tri"))
+        )
+
+        internal = F.coalesce("internal", F.lit(0)).cast("double")
+        emax = F.coalesce("emax", F.lit(1)).cast("double")
+        tri = F.coalesce("tri", F.lit(0)).cast("double")
+        c_in = F.when(
+            internal >= 2,
+            tri / (0.5 * internal * (internal - 1.0)),
+        ).otherwise(0.0)
+        scores = (
+            g.vertices.join(per_node, "id", "left")
+            .join(tri_in, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.coalesce("deg", F.lit(0)) > 0,
+                    internal / emax / F.col("deg").cast("double")
+                    - (F.lit(1.0) - c_in),
+                ).otherwise(0.0).alias("score"),
+            )
+        )
+        self._scores = scores

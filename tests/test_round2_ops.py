@@ -438,3 +438,21 @@ def test_group_degree_star_plus_path(spark):
     gd2 = GroupDegree(g, k=2, count_group_nodes=True).run()
     assert gd2.group_max_degree() == [0, 6]
     assert gd2.get_score() == 8
+
+
+def test_permanence_centrality(spark):
+    from networkit_spark.operators.degree import PermanenceCentrality
+
+    # triangle 0-1-2 (community A) + pendant 3 (community B) on node 2
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1)], "id long, label long"
+    )
+    s = {
+        r["id"]: r["score"]
+        for r in PermanenceCentrality(g, part).run().scores().collect()
+    }
+    assert s[0] == pytest.approx(1.0)     # 2/1/2 - (1-1)
+    assert s[1] == pytest.approx(1.0)
+    assert s[2] == pytest.approx(2 / 3)   # 2/1/3 - (1-1)
+    assert s[3] == pytest.approx(-1.0)    # 0/1/1 - (1-0)
