@@ -49,7 +49,12 @@ class PLM(Algorithm):
         max_sweeps: int = 8,
         max_levels: int = 10,
         min_moves_frac: float = 0.001,
+        refine: bool = False,
     ) -> None:
+        """``refine`` mirrors ``PLM(refine=...)`` (``PLM.cpp:262-284``,
+        default false): after prolonging each coarse partition to the
+        finer level, re-run the move phase there seeded with the
+        prolonged labels."""
         if graph.directed:
             raise ValueError("PLM requires an undirected graph (PLM.cpp ctor)")
         super().__init__(graph)
@@ -57,12 +62,18 @@ class PLM(Algorithm):
         self.max_sweeps = max_sweeps
         self.max_levels = max_levels
         self.min_moves_frac = min_moves_frac
+        self.refine = refine
         self._labels: DataFrame | None = None
         self._timing: dict[str, list[float]] = {"move": [], "coarsen": []}
 
     # ----------------------------------------------------------- move phase
-    def _move_phase(self, g: Graph, mat: Materializer) -> DataFrame:
-        """Synchronous local-move sweeps on one level; returns labels."""
+    def _move_phase(
+        self, g: Graph, mat: Materializer, init_labels: DataFrame | None = None
+    ) -> DataFrame:
+        """Synchronous local-move sweeps on one level; returns labels.
+        ``init_labels`` (id, comm) seeds the sweep — used by the refine
+        phase (``PLM.cpp`` refine=true: re-run the move phase on the
+        finer graph starting from the prolonged coarse partition)."""
         import time
 
         sym = (
@@ -103,7 +114,12 @@ class PLM(Algorithm):
         inv_w = 1.0 / total_w
         inv_2w2 = 1.0 / (2.0 * total_w * total_w)
 
-        labels = mat.cut(0, g.vertices.select("id", F.col("id").alias("comm")))
+        labels = mat.cut(
+            0,
+            init_labels.select("id", "comm")
+            if init_labels is not None
+            else g.vertices.select("id", F.col("id").alias("comm")),
+        )
         for sweep in range(1, self.max_sweeps + 1):
             t0 = time.time()
             # stage 1: state = labels + weighted degree   [labels ×1]
@@ -198,6 +214,7 @@ class PLM(Algorithm):
         g = self.graph
         # fine-level labels, prolonged down the hierarchy as we return
         mapping_stack: list[DataFrame] = []
+        graphs: list[Graph] = []
         level = 0
         current = g
         while level < self.max_levels:
@@ -208,25 +225,28 @@ class PLM(Algorithm):
             pc = ParallelPartitionCoarsening(
                 current, labels.select("id", F.col("comm").alias("label"))
             ).run()
+            graphs.append(current)
             mapping_stack.append(pc.get_fine_to_coarse_node_mapping())
             if n_comms == n_nodes:
                 break
             current = pc.get_coarse_graph()
-        # prolong: compose mappings top-down
-        final = mapping_stack[-1].select(
-            F.col("id").alias("coarse_id"), F.col("super").alias("comm")
-        )
-        for m in reversed(mapping_stack[:-1]):
-            final = (
-                m.select("id", F.col("super").alias("coarse_id"))
-                .join(final, "coarse_id")
+        # prolong: compose mappings top-down; with refine, re-optimize
+        # each finer level seeded with its prolonged partition
+        # (PLM.cpp refine=true)
+        part = mapping_stack[-1].select("id", F.col("super").alias("comm"))
+        if self.refine and len(mapping_stack) > 1:
+            part = self._move_phase(graphs[-1], mat, init_labels=part)
+        for i in reversed(range(len(mapping_stack) - 1)):
+            part = (
+                mapping_stack[i]
+                .select("id", F.col("super").alias("pid"))
+                .join(part.select(F.col("id").alias("pid"), "comm"), "pid")
                 .select("id", "comm")
                 .transform(local_cut)
-                .select(F.col("id").alias("coarse_id"), F.col("comm"))
             )
-        self._labels = final.select(
-            F.col("coarse_id").alias("id"), F.col("comm").alias("label")
-        )
+            if self.refine:
+                part = self._move_phase(graphs[i], mat, init_labels=part)
+        self._labels = part.select("id", F.col("comm").alias("label"))
 
     def get_partition(self) -> DataFrame:
         """``(id, label)`` final communities (labels = coarse ids)."""

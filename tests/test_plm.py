@@ -52,3 +52,17 @@ def test_plm_deterministic(spark):
     p1 = {(r["id"], r["label"]) for r in PLM(g).run().get_partition().collect()}
     p2 = {(r["id"], r["label"]) for r in PLM(g).run().get_partition().collect()}
     assert p1 == p2
+
+
+def test_plm_refine_no_worse_modularity(spark):
+    g, _truth = clustered_random(spark, n=80, k=4, p_in=0.5, p_out=0.02, seed=11)
+    base = PLM(g, max_sweeps=4).run().get_partition()
+    refined = PLM(g, max_sweeps=4, refine=True).run().get_partition()
+    q_base = modularity(g, base)
+    q_ref = modularity(g, refined)
+    # the refine phase only accepts strictly-positive-gain moves, so
+    # modularity cannot decrease (up to FP noise)
+    assert q_ref >= q_base - 1e-9
+    # still a proper clustering: every node labeled exactly once
+    assert refined.count() == g.number_of_nodes()
+    assert refined.select("id").distinct().count() == g.number_of_nodes()
