@@ -456,3 +456,23 @@ def test_permanence_centrality(spark):
     assert s[1] == pytest.approx(1.0)
     assert s[2] == pytest.approx(2 / 3)   # 2/1/3 - (1-1)
     assert s[3] == pytest.approx(-1.0)    # 0/1/1 - (1-0)
+
+
+def test_kpath_centrality_star(spark):
+    from networkit_spark.operators.kpath import KPathCentrality
+
+    # star: center 0, leaves 1..5 — every 2+-step walk passes the center
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)]
+    )
+    kp = KPathCentrality(g, k=3, num_walks=200).run()
+    s = {r["id"]: r["score"] for r in kp.scores().collect()}
+    assert s[0] > max(s[i] for i in range(1, 6))
+    # deterministic for a fixed seed
+    s2 = {
+        r["id"]: r["score"]
+        for r in KPathCentrality(g, k=3, num_walks=200).run().scores().collect()
+    }
+    assert s == s2
+    with pytest.raises(RuntimeError):
+        KPathCentrality(g, alpha=0.9)
