@@ -1341,6 +1341,28 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPathCentrality — seeded self-avoiding walk sampling (stochastic
+    estimator: rows-only, no SQL oracle; determinism and ordering are
+    covered by unit tests)."""
+    from networkit_spark.operators.kpath import KPathCentrality
+
+    g = undirected_graph(spark, sf_dir)
+    kp = KPathCentrality(g, k=4, num_walks=2000).run()
+    return kp.scores().select("id", F.round("score", 6).alias("kpath"))
+
+
+def q_group_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupDegree greedy selection (k=4) — rows-only (the greedy
+    argmax chain is not naturally SQL-expressible; golden-tested)."""
+    from networkit_spark.operators.group import GroupDegree
+
+    g = undirected_graph(spark, sf_dir)
+    gd = GroupDegree(g, k=4).run()
+    rows = [(int(u), i) for i, u in enumerate(gd.group_max_degree())]
+    return spark.createDataFrame(rows, "id long, pick_order int")
+
+
 def q_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MissingLinksFinder.findAtDistance(2): non-adjacent pairs with at
     least one common neighbor (exact distance 2), u < v."""
@@ -2238,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "neighbors_measure": q_neighbors_measure,
         "missing_links": q_missing_links,
+        "kpath": q_kpath,
+        "group_degree": q_group_degree,
         "same_community": q_same_community,
         "sfigality": q_sfigality,
         "laplacian_centrality": q_laplacian,

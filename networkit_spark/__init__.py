@@ -21,8 +21,11 @@ from networkit_spark.operators.degree import (
     DegreeCentrality,
     LaplacianCentrality,
     LocalPartitionCoverage,
+    PermanenceCentrality,
     Sfigality,
 )
+from networkit_spark.operators.group import GroupDegree
+from networkit_spark.operators.kpath import KPathCentrality
 from networkit_spark.operators.pagerank import PageRank
 from networkit_spark.operators.components import (
     ConnectedComponents,
@@ -71,8 +74,11 @@ from networkit_spark.operators.spanning import (
 
 __all__ = [
     "ApproxBetweenness",
+    "GroupDegree",
+    "KPathCentrality",
     "LaplacianCentrality",
     "LocalPartitionCoverage",
+    "PermanenceCentrality",
     "Sfigality",
     "Betweenness",
     "Closeness",
