@@ -1,0 +1,105 @@
+"""Dynamic single-source distances — batch-incremental BFS.
+
+Reference: ``cpp/distance/DynBFS.cpp`` (via the ``DynSSSP`` interface,
+``cpp/distance/DynSSSP.hpp``): maintain hop distances from a fixed
+source under edge insertions; any other event type is rejected
+(``DynBFS.cpp:51`` "Graph update not allowed").
+
+Spark re-expression: the initial distances come from the batched BFS
+operator; an update seeds a relaxation frontier from the inserted
+edges' endpoints (``dist[u]+1 < dist[v]`` in either allowed direction)
+and runs standard frontier rounds restricted to strictly-improving
+nodes — O(depth of the affected region) rounds, each one gather join,
+instead of a full recompute. Contract (tested): distances equal a
+fresh BFS on the updated graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.base import Algorithm
+from networkit_spark.operators.distance import BFS
+from networkit_spark.plans.iterate import Materializer
+from networkit_spark.streaming.events import EDGE_ADDITION, apply_events
+
+
+class DynBFS(Algorithm):
+    def __init__(self, graph: Graph, source: int) -> None:
+        super().__init__(graph)
+        self.source = source
+        self._dist: DataFrame | None = None
+
+    def _run(self) -> None:
+        bfs = BFS(self.graph, self.source).run()
+        self._dist = bfs.distances()
+
+    def distances(self) -> DataFrame:
+        """``(id, dist)`` for reached nodes (``DynBFS`` via
+        ``DynSSSP::getDistances``)."""
+        self.assure_finished()
+        return self._dist
+
+    def update(self, events: DataFrame) -> None:
+        """Apply an EDGE_ADDITION batch and relax distances
+        incrementally. Non-insertion events raise, mirroring
+        ``DynBFS.cpp:51``."""
+        self.assure_finished()
+        others = events.where(F.col("etype") != EDGE_ADDITION)
+        if bool(others.limit(1).count()):
+            raise RuntimeError("Graph update not allowed (DynBFS.cpp:51)")
+
+        new_graph = apply_events(self.graph, events)
+        g = new_graph
+        nbrs = (
+            (g.edges if g.directed else g.symmetrized())
+            .select("src", "dst")
+            .persist()
+        )
+        mat = Materializer()
+        dist = self._dist
+        # seed frontier: endpoints whose distance improves through an
+        # inserted edge (both directions on undirected graphs)
+        ins = events.where(F.col("etype") == EDGE_ADDITION).select("u", "v")
+        dirs = ins
+        if not g.directed:
+            dirs = ins.unionAll(
+                ins.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        du = dist.select(F.col("id").alias("u"), F.col("dist").alias("du"))
+        dv = dist.select(F.col("id").alias("v"), F.col("dist").alias("dv"))
+        seed = (
+            dirs.join(du, "u")
+            .join(dv, "v", "left")
+            .where(
+                F.col("dv").isNull() | (F.col("du") + 1 < F.col("dv"))
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg((F.min("du") + 1).alias("dist"))
+        )
+        it = 0
+        frontier = mat.cut(it, seed)
+        while bool(frontier.limit(1).count()):
+            # merge improvements into dist
+            dist = mat.cut(
+                it,
+                dist.unionAll(frontier)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist")),
+            )
+            it += 1
+            cand = (
+                nbrs.join(frontier, nbrs.src == frontier.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg((F.min("dist") + 1).alias("nd"))
+            )
+            frontier = mat.cut(
+                it,
+                cand.join(dist, "id", "left")
+                .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                .select("id", F.col("nd").alias("dist")),
+            )
+        nbrs.unpersist()
+        self.graph = g
+        self._dist = dist

@@ -262,3 +262,38 @@ def test_streaming_vertex_sessions(spark, tmp_path):
     # watermark (max ts - 1 min) passed its gap deadline
     assert (0, 2) in got
     assert (1, 1) in got
+
+
+def test_dynbfs_equals_fresh_run(spark):
+    import datetime
+
+    from networkit_spark.operators.distance import BFS
+    from networkit_spark.operators.dyndistance import DynBFS
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    # path 0-1-2-3-4; then insert shortcut 0-3 and new branch 4-5
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    dyn = DynBFS(g, source=0).run()
+    assert {r["id"]: r["dist"] for r in dyn.distances().collect()}[4] == 4
+
+    ts = datetime.datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(ts, "EDGE_ADDITION", 0, 3, 1.0), (ts, "EDGE_ADDITION", 4, 5, 1.0)],
+        EVENT_SCHEMA,
+    )
+    dyn.update(events)
+    got = {r["id"]: r["dist"] for r in dyn.distances().collect()}
+    fresh_graph = dyn.graph
+    want = {
+        r["id"]: r["dist"]
+        for r in BFS(fresh_graph, 0).run().distances().collect()
+    }
+    assert got == want
+    assert got[3] == 1 and got[4] == 2 and got[5] == 3
+
+    # non-insertion events are rejected (DynBFS.cpp:51)
+    bad = spark.createDataFrame(
+        [(ts, "EDGE_REMOVAL", 0, 1, 1.0)], EVENT_SCHEMA
+    )
+    with pytest.raises(RuntimeError):
+        dyn.update(bad)
