@@ -649,8 +649,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core decomposition via the h-index fixpoint (equals the peel's
     core numbers; kcore.py docstring). Oracle = the same fixpoint
     unrolled ``_KCORE_ROUNDS`` times in SQL — measured convergence at
-    sf0.01 is 14 rounds; extra rounds past the fixpoint are identity
-    (monotone), an under-unroll shows as a hash MISMATCH."""
+    sf0.01 is 15-16 rounds (engine fixpoint confirms at iteration 16
+    with unroll=4); extra rounds past the fixpoint are identity
+    (monotone), so the unroll carries margin. The round-2 hash mismatch
+    was a TYPE artifact, not an under-unroll: DuckDB's ``sum(BIGINT)``
+    window is HUGEINT, making ``least(h, ge)`` (and so the output
+    column) HUGEINT, which the driver's pandas hashing renders
+    differently than Spark's long — hence the final CAST to BIGINT."""
     from networkit_spark.operators.kcore import CoreDecomposition
 
     g = undirected_graph(spark, sf_dir)
@@ -658,7 +663,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.core_numbers().select("id", "core")
 
 
-_KCORE_ROUNDS = 16
+_KCORE_ROUNDS = 20
 
 
 def q_kcore_sql() -> str:
@@ -687,7 +692,7 @@ def q_kcore_sql() -> str:
     return f"""
 WITH {_sql_undirected(V_SMALL)},
 {",".join(steps)}
-SELECT id, h AS core FROM h{_KCORE_ROUNDS}
+SELECT id, CAST(h AS BIGINT) AS core FROM h{_KCORE_ROUNDS}
 """
 
 

@@ -56,6 +56,12 @@ class Sfigality(Centrality):
     Spark plan: degree table joined onto both endpoints of the
     symmetric edge view, one comparison + groupBy — two broadcast-able
     joins against an |V|-row table, no iteration.
+
+    Documented divergence: isolated vertices score **0.0** here (left
+    join + coalesce), where the reference computes ``0 / degree(u) =
+    0/0 = NaN``. 0.0 is the more useful sentinel in a DataFrame (NaN
+    poisons downstream aggregates and breaks the driver's value-hash
+    stability), so we keep it deliberately.
     """
 
     def _run(self) -> None:

@@ -46,7 +46,13 @@ class DynBFS(Algorithm):
         incrementally. Non-insertion events raise, mirroring
         ``DynBFS.cpp:51``."""
         self.assure_finished()
-        others = events.where(F.col("etype") != EDGE_ADDITION)
+        # DynBFS.cpp:51 rejects both non-insertion events AND weighted
+        # insertions (edge.w != 1.0) — a weighted edge is not a hop-1
+        # edge, so silently accepting it would corrupt hop distances
+        others = events.where(
+            (F.col("etype") != EDGE_ADDITION)
+            | (F.col("w").isNotNull() & (F.col("w") != F.lit(1.0)))
+        )
         if bool(others.limit(1).count()):
             raise RuntimeError("Graph update not allowed (DynBFS.cpp:51)")
 

@@ -42,6 +42,11 @@ class GroupDegree(Algorithm):
 
     def _run(self) -> None:
         g = self.graph
+        # the reference ctor (GroupDegree.cpp) also throws for k > n;
+        # checked here (not in __init__) so construction stays lazy —
+        # counting n is a Spark job
+        if self.k > g.number_of_nodes():
+            raise ValueError("k must be between 1 and n")
         spark = g.edges.sparkSession
         out_adj = (
             (g.edges if g.directed else g.symmetrized())

@@ -26,11 +26,21 @@ TABLES = [
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    return v
+    """Type-strict normalization: the driver hashes stringified values,
+    so an int 89 vs float 89.0 (e.g. DuckDB HUGEINT -> pandas float)
+    must FAIL here too, not compare equal under Python ==."""
+    import numbers
+
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "nan")
+        return ("f", round(f, 9))
+    return ("x", str(v))
 
 
 def main(selected: list[str]) -> int:

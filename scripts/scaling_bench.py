@@ -70,15 +70,19 @@ for _ in range(3):
     pr = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
     pr.scores().write.format("noop").mode("overwrite").save()
     walls.append(time.time() - t0)
-# best-of-3: wall-clock noise (GC pauses, residual JIT, scheduler
-# jitter) is strictly additive, so the minimum is the least-biased
-# estimate of the steady-state cost a long-running cluster job pays;
-# all raw runs are recorded alongside for transparency
-wall = min(walls)
+# aggregation basis: MEDIAN of 3 (matches the committed round-2
+# artifacts and the headline 0.927 figure); the best-of-3 minimum is
+# reported alongside — wall-clock noise is additive so min is a
+# defensible steady-state estimate too, but the basis must be labeled
+# and consistent, not silently switched between regenerations.
+wall = sorted(walls)[1]
 print(json.dumps({{
     "cpus": cpus, "edges": m, "iterations": pr.number_of_iterations(),
     "wall_s": round(wall, 3), "wall_s_runs": [round(w, 3) for w in walls],
+    "wall_basis": "median-of-3",
     "edges_per_sec_per_iter": round(m * pr.number_of_iterations() / wall, 1),
+    "edges_per_sec_per_iter_best": round(
+        m * pr.number_of_iterations() / min(walls), 1),
 }}))
 spark.stop()
 """
@@ -135,12 +139,18 @@ def main() -> None:
     high = run_level(n_high, sf_dir)
     ratio = n_high / n_low
     eff = (high["edges_per_sec_per_iter"] / low["edges_per_sec_per_iter"]) / ratio
+    eff_best = (
+        high.get("edges_per_sec_per_iter_best", high["edges_per_sec_per_iter"])
+        / low.get("edges_per_sec_per_iter_best", low["edges_per_sec_per_iter"])
+    ) / ratio
     result = {
         "sf_dir": sf_dir,
         "low": low,
         "high": high,
         "parallelism_ratio": ratio,
+        "wall_basis": "median-of-3",
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_best_of_3": round(eff_best, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # append raw runs; BENCH/BASELINE.md is the curated summary
@@ -156,7 +166,9 @@ shifted copies = {low['edges']:,} weighted edges), two local parallelism
 levels, fresh JVM per level, each process tree cpuset-pinned (taskset)
 to exactly its core budget so GC/JIT/shuffle daemon threads cannot
 borrow unaccounted host cores, caches warmed by one full-length
-throwaway run before timing.
+throwaway run before timing. Wall aggregation basis: **median of 3
+timed runs** (best-of-3 shown in the JSON alongside; all raw walls in
+`scaling_runs.jsonl`).
 
 | parallelism | iterations | wall s | edges/s per iteration |
 |---|---|---|---|
