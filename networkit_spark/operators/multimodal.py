@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -25,9 +26,12 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode_features(payload: bytes, n_bins: int = 8) -> list[float]:
-    """DETERMINISTIC STAND-IN for a real decoder (libjpeg / ffmpeg not in
-    this container): an ``n_bins``-bucket byte histogram, normalized.
-    Replace with a real decode + embedding under the same signature."""
+    """Scalar SPEC of the deterministic decoder stand-in (libjpeg /
+    ffmpeg not in this container): an ``n_bins``-bucket byte histogram,
+    normalized. The batch path below computes the same values
+    vectorized (numpy ``frombuffer`` + ``bincount``); this scalar form
+    exists as the readable definition and the test reference. Replace
+    both with a real decode + embedding under the same signature."""
     if not payload:
         return [0.0] * n_bins
     hist = [0] * n_bins
@@ -35,6 +39,30 @@ def _fake_decode_features(payload: bytes, n_bins: int = 8) -> list[float]:
         hist[b % n_bins] += 1
     total = float(len(payload))
     return [h / total for h in hist]
+
+
+def _batch_decode(raw: list[bytes], n_bins: int):
+    """Vectorized batch form of ``_fake_decode_features`` plus byte
+    stats: ONE ``np.frombuffer`` over the concatenated batch payload,
+    segment sums via cumsum differences, per-row histograms via a
+    single ``bincount`` over ``row_index * n_bins + byte % n_bins`` —
+    no per-row (let alone per-byte) Python in the hot loop, which is
+    what survives 100 TB of assets."""
+    n = len(raw)
+    lens = np.fromiter((len(p) for p in raw), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    csum = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(buf, dtype=np.int64, out=csum[1:])
+    byte_sum = csum[bounds[1:]] - csum[bounds[:-1]]
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hist = np.bincount(
+        row_idx * n_bins + (buf % n_bins).astype(np.int64),
+        minlength=n * n_bins,
+    ).reshape(n, n_bins)
+    feats = hist / np.maximum(lens, 1)[:, None].astype(np.float64)
+    return lens, byte_sum, feats
 
 
 def extract_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
@@ -48,20 +76,18 @@ def extract_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda p: len(p) if p is not None else 0)
-            byte_sum = payloads.map(
-                lambda p: int(sum(p)) if p is not None else 0
-            )
-            feats = payloads.map(lambda p: _fake_decode_features(p, n_bins))
+            # the only per-row Python is the None→b"" normalization at
+            # the Arrow boundary; all byte-level work is numpy
+            raw = [p if p is not None else b"" for p in pdf["payload"]]
+            lens, byte_sum, feats = _batch_decode(raw, n_bins)
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes,
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": lens,
                     "byte_sum": byte_sum,
-                    "byte_mean": byte_sum / n_bytes.clip(lower=1),
-                    "feature": feats,
+                    "byte_mean": byte_sum / np.maximum(lens, 1),
+                    "feature": list(feats),
                 }
             )
 
