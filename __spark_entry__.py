@@ -1346,6 +1346,23 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node2Vec embeddings (p=0.5, q=2.0) — rows+schema gate (the
+    walk sampler is a seeded stochastic estimator with no closed SQL
+    form; walk validity / determinism / finiteness are pytest-gated in
+    tests/test_node2vec.py). Returns one unit-L2 feature row per node."""
+    from networkit_spark.operators.node2vec import Node2Vec
+
+    g = undirected_graph(spark, sf_dir)
+    n2v = Node2Vec(
+        g, p=0.5, q=2.0, walk_length=6, walks_per_node=2, dim=8,
+        window=3, seed=7,
+    ).run()
+    return n2v.get_features().select(
+        "id", F.transform("feature", lambda x: F.round(x, 6)).alias("feature")
+    )
+
+
 def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPathCentrality — seeded self-avoiding walk sampling (stochastic
     estimator: rows-only, no SQL oracle; determinism and ordering are
@@ -2496,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": q_eigenvector,
         "katz": q_katz,
         "kpath": q_kpath,
+        "node2vec": q_node2vec,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,

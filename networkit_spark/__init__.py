@@ -71,6 +71,7 @@ from networkit_spark.operators.spanning import (
     MinimumSpanningForest,
     SpanningForest,
 )
+from networkit_spark.operators.node2vec import Node2Vec
 
 __all__ = [
     "ApproxBetweenness",
@@ -95,6 +96,7 @@ __all__ = [
     "DynConnectedComponents",
     "DynWeaklyConnectedComponents",
     "MinimumSpanningForest",
+    "Node2Vec",
     "SpanningForest",
     "EffectiveDiameterApproximation",
     "ParallelPartitionCoarsening",
