@@ -1346,6 +1346,20 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biconnected components (Tarjan–Vishkin over the BFS forest) on
+    the thinned undirected graph — per-edge block labels. Golden-gated:
+    pytest compares block partitions against a textbook sequential
+    Tarjan on fixed and random graphs (tests/test_biconnected.py); the
+    driver row is rows+schema (block structure has no closed SQL form
+    within the oracle's round budget)."""
+    from networkit_spark.operators.biconnected import BiconnectedComponents
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    bc = BiconnectedComponents(g).run()
+    return bc.edge_components().select("u", "v", "block")
+
+
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node2Vec embeddings (p=0.5, q=2.0) — rows+schema gate (the
     walk sampler is a seeded stochastic estimator with no closed SQL
@@ -2514,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "kpath": q_kpath,
         "node2vec": q_node2vec,
+        "biconnected": q_biconnected,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,

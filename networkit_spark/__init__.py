@@ -72,6 +72,7 @@ from networkit_spark.operators.spanning import (
     SpanningForest,
 )
 from networkit_spark.operators.node2vec import Node2Vec
+from networkit_spark.operators.biconnected import BiconnectedComponents
 
 __all__ = [
     "ApproxBetweenness",
@@ -95,6 +96,7 @@ __all__ = [
     "Dijkstra",
     "DynConnectedComponents",
     "DynWeaklyConnectedComponents",
+    "BiconnectedComponents",
     "MinimumSpanningForest",
     "Node2Vec",
     "SpanningForest",
