@@ -1346,6 +1346,20 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KADABRA adaptive (ε, δ)-betweenness (err=0.1, δ=0.1) — rows-only
+    (stochastic sampler; the ε-contract vs exact pair-fraction
+    betweenness is pytest-gated in tests/test_kadabra.py)."""
+    from networkit_spark.operators.kadabra import KadabraBetweenness
+
+    g = undirected_graph(spark, sf_dir)
+    kb = KadabraBetweenness(
+        g, err=0.1, delta=0.1, seed=11, diameter_hint=8,
+        base_iters_per_step=512,
+    ).run()
+    return kb.scores().select("id", F.round("score", 6).alias("kadabra"))
+
+
 def q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biconnected components (Tarjan–Vishkin over the BFS forest) on
     the thinned undirected graph — per-edge block labels. Golden-gated:
@@ -2529,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpath": q_kpath,
         "node2vec": q_node2vec,
         "biconnected": q_biconnected,
+        "kadabra": q_kadabra,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,

@@ -73,6 +73,7 @@ from networkit_spark.operators.spanning import (
 )
 from networkit_spark.operators.node2vec import Node2Vec
 from networkit_spark.operators.biconnected import BiconnectedComponents
+from networkit_spark.operators.kadabra import KadabraBetweenness
 
 __all__ = [
     "ApproxBetweenness",
@@ -97,6 +98,7 @@ __all__ = [
     "DynConnectedComponents",
     "DynWeaklyConnectedComponents",
     "BiconnectedComponents",
+    "KadabraBetweenness",
     "MinimumSpanningForest",
     "Node2Vec",
     "SpanningForest",
