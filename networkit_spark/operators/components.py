@@ -54,6 +54,7 @@ class ConnectedComponents(Algorithm):
         store: CheckpointStore | None = None,
         shortcut: bool = False,  # accepted for API stability; see _run note
         max_iterations: int = 200,
+        fastsv_fallback: bool = True,
     ) -> None:
         if graph.directed and type(self) is ConnectedComponents:
             raise ValueError(
@@ -64,6 +65,7 @@ class ConnectedComponents(Algorithm):
         self.store = store
         self.shortcut = shortcut
         self.max_iterations = max_iterations
+        self.fastsv_fallback = fastsv_fallback
         self._labels: DataFrame | None = None
         self._iterations = 0
         self._converged = False
@@ -157,12 +159,30 @@ class ConnectedComponents(Algorithm):
             # without one the partial labels are unreachable garbage —
             # fail loudly. Accessors guard on convergence either way.
             if self.store is None:
+                if self.fastsv_fallback:
+                    # O(log n) rescue for pathological diameters. NOTE:
+                    # label-region COARSENING (the reference's
+                    # ParallelConnectedComponents.cpp:81-94 accelerator)
+                    # does NOT work here: after k hash-min rounds on a
+                    # long chain each node's label is the min of its
+                    # k-ball — a DISTINCT value per node — so regions
+                    # are singletons and contraction shrinks nothing.
+                    # FastSV's grandparent hooking + shortcutting is the
+                    # correct accelerator, and it is plan-safe at this
+                    # point because the label frame is materialized each
+                    # round (the self-join is over a checkpointed frame,
+                    # not in-flight state — see plans/iterate.py).
+                    self._labels = self._fastsv_finish(labels, sym)
+                    self._iterations = it - start_iter
+                    self._converged = True
+                    sym.unpersist()
+                    return
                 sym.unpersist()
                 raise RuntimeError(
                     f"connected components did not converge in "
                     f"{self.max_iterations} rounds ({changed} labels still "
                     "changing); graph diameter exceeds max_iterations — raise "
-                    "max_iterations or coarsen first (coarsening.py)"
+                    "max_iterations or enable fastsv_fallback"
                 )
             import warnings
 
@@ -176,6 +196,98 @@ class ConnectedComponents(Algorithm):
         self._iterations = it - start_iter
         self._labels = labels
         sym.unpersist()
+
+    def _fastsv_finish(self, labels: DataFrame, sym: DataFrame) -> DataFrame:
+        """Finish a partially-converged hash-min run with FastSV rounds
+        (Zhang, Azad & Yelick, "FastSV: a distributed-memory connected
+        component algorithm with fast convergence", SIAM PP 2020 —
+        public result): treat the label as a parent pointer f(u) (an id
+        in u's component with f(u) ≤ u, which hash-min guarantees) and
+        iterate
+
+            g(u)   = f(f(u))                       (grandparent)
+            mn(u)  = min over v ∈ N(u)∪{u} of g(v) (neighbor gather)
+            f'(x)  = min(f(x), min_{u: g(u)=x} mn(u), mn(x))  (hooking)
+            f''(u) = f'(f'(u))                     (shortcutting)
+
+        f only decreases and stays inside the component; at the
+        fixpoint f is constant per component (both endpoints of every
+        edge agree) and equals the component's min id. Pointer jumping
+        makes rounds O(log n) instead of O(diameter). Every round is
+        materialized, so the f∘f self-joins are over checkpointed
+        frames — linear plans."""
+        from networkit_spark.plans.iterate import local_cut
+
+        adj = sym.where(~F.col("is_self")).select("src", "dst")
+        f = local_cut(labels)  # (id, label)
+        for _ in range(64):  # log2-bounded; 64 covers any vertex count
+            f2 = (
+                f.join(
+                    f.select(
+                        F.col("id").alias("label"),
+                        F.col("label").alias("glabel"),
+                    ),
+                    "label",
+                )
+                .select("id", F.col("glabel").alias("g"))
+            )
+            f2 = local_cut(f2)
+            # mn(u) = min over N(u) ∪ {u} of g(v)
+            gather = (
+                adj.join(
+                    f2.select(F.col("id").alias("src"), F.col("g").alias("gs")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("gs").alias("nbr_g"))
+            )
+            mn = f2.join(gather, "id", "left").select(
+                "id", F.least("g", F.coalesce("nbr_g", F.col("g"))).alias("mn")
+            )
+            mn = local_cut(mn)
+            # hooking: push mn(u) onto grandparent g(u) and onto u itself
+            hooks = (
+                f2.join(mn, "id")
+                .groupBy(F.col("g").alias("id"))
+                .agg(F.min("mn").alias("hook"))
+            )
+            f1 = (
+                f.join(hooks, "id", "left")
+                .join(mn, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "label",
+                        F.coalesce("hook", F.col("label")),
+                        F.coalesce("mn", F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            f1 = local_cut(f1)
+            # shortcutting: f''(u) = f'(f'(u))
+            nf = (
+                f1.join(
+                    f1.select(
+                        F.col("id").alias("label"),
+                        F.col("label").alias("ll"),
+                    ),
+                    "label",
+                )
+                .select("id", F.col("ll").alias("label"))
+            )
+            nf = local_cut(nf)
+            changed = (
+                nf.join(f.withColumnRenamed("label", "old"), "id")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            f = nf
+            if changed == 0:
+                return f
+        raise RuntimeError(
+            "FastSV fallback did not converge in 64 rounds — this should "
+            "be impossible (pointer jumping halves chain length per round)"
+        )
 
     # ------------------------------------------------------------ accessors
     def _assure_converged(self) -> None:

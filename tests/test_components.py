@@ -87,3 +87,35 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     assert resumed.number_of_components() == 5
     lab = labels_dict(resumed)
     assert lab[19] == 0
+
+
+def test_cc_coarsening_fallback_long_chain(spark):
+    # 60-node path, round budget 5 << diameter: hash-min alone cannot
+    # converge; the wired FastSV fallback must still produce the
+    # exact partition (one component labeled by its min id)
+    from networkit_spark.operators.components import ConnectedComponents
+
+    edges = [(i, i + 1, 1.0) for i in range(59)] + [(100, 101, 1.0)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False,
+        weighted=True,
+    )
+    cc = ConnectedComponents(g, max_iterations=5).run()
+    labels = {r["id"]: r["label"] for r in cc.get_partition().collect()}
+    assert all(labels[i] == 0 for i in range(60))
+    assert labels[100] == labels[101] == 100
+    assert cc.number_of_components() == 2
+
+
+def test_cc_fallback_disabled_still_raises(spark):
+    from networkit_spark.operators.components import ConnectedComponents
+
+    edges = [(i, i + 1, 1.0) for i in range(30)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False,
+        weighted=True,
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ConnectedComponents(g, max_iterations=3, fastsv_fallback=False).run()
