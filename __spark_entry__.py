@@ -1346,6 +1346,76 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+_MATCHING_ROUNDS = 20
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalMaxMatcher on the thin graph. Deterministic under the
+    documented (weight, src, dst) tie order, so the rounds unroll to
+    SQL exactly like kcore/group_degree: per-round per-node best edge
+    (row_number over the lexicographic order), agreement join, matched
+    -node removal. Measured drain at sf0.01 is 17 rounds; unroll
+    carries margin (rounds past drain are identity on empty frames)."""
+    from networkit_spark.operators.matching import LocalMaxMatcher
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    m = LocalMaxMatcher(g).run()
+    return m.get_matching().select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_matching_sql() -> str:
+    steps = ["rem0 AS MATERIALIZED (SELECT src, dst, 1.0 AS w FROM eu)"]
+    for k in range(1, _MATCHING_ROUNDS + 1):
+        steps.append(
+            f"""best{k} AS MATERIALIZED (
+  SELECT id, s, t, w FROM (
+    SELECT id, s, t, w,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY w DESC, s DESC, t DESC) AS rn
+    FROM (SELECT src AS id, src AS s, dst AS t, w FROM rem{k - 1}
+          UNION ALL
+          SELECT dst AS id, src AS s, dst AS t, w FROM rem{k - 1})
+  ) WHERE rn = 1
+),
+agree{k} AS MATERIALIZED (
+  SELECT r.src, r.dst, r.w FROM rem{k - 1} r
+  JOIN best{k} bs ON bs.id = r.src AND bs.s = r.src AND bs.t = r.dst
+  JOIN best{k} bd ON bd.id = r.dst AND bd.s = r.src AND bd.t = r.dst
+),
+rem{k} AS MATERIALIZED (
+  SELECT r.src, r.dst, r.w FROM rem{k - 1} r
+  WHERE r.src NOT IN (SELECT src FROM agree{k} UNION SELECT dst FROM agree{k})
+    AND r.dst NOT IN (SELECT src FROM agree{k} UNION SELECT dst FROM agree{k})
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT src, dst, w FROM agree{k}"
+        for k in range(1, _MATCHING_ROUNDS + 1)
+    )
+    return f"""
+WITH {_SQL_THIN_UNDIRECTED},
+{",".join(steps)}
+SELECT src, dst, round(w, 6) AS weight FROM ({unions})
+"""
+
+
+def q_maximal_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaximalCliques (join-based k-clique expansion + drop-one
+    maximality) on the thin graph — one row per maximal clique with its
+    size. Golden-gated: pytest compares the full clique set against
+    in-test brute-force enumeration (tests/test_matching_cliques.py);
+    driver row is rows+schema."""
+    from networkit_spark.operators.cliques import MaximalCliques
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    mc = MaximalCliques(g).run()
+    return mc.get_cliques().select(
+        F.array_sort("c").alias("members"), F.size("c").alias("k")
+    )
+
+
 def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KADABRA adaptive (ε, δ)-betweenness (err=0.1, δ=0.1) — rows-only
     (stochastic sampler; the ε-contract vs exact pair-fraction
@@ -2544,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "biconnected": q_biconnected,
         "kadabra": q_kadabra,
+        "matching": q_matching,
+        "maximal_cliques": q_maximal_cliques,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
@@ -2595,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "node_misc_scores": q_node_misc_scores_sql(),
         "eigenvector": q_eigenvector_sql(),
         "katz": q_katz_sql(),
+        "matching": q_matching_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),

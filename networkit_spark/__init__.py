@@ -74,6 +74,8 @@ from networkit_spark.operators.spanning import (
 from networkit_spark.operators.node2vec import Node2Vec
 from networkit_spark.operators.biconnected import BiconnectedComponents
 from networkit_spark.operators.kadabra import KadabraBetweenness
+from networkit_spark.operators.matching import LocalMaxMatcher
+from networkit_spark.operators.cliques import MaximalCliques
 
 __all__ = [
     "ApproxBetweenness",
@@ -99,6 +101,8 @@ __all__ = [
     "DynWeaklyConnectedComponents",
     "BiconnectedComponents",
     "KadabraBetweenness",
+    "LocalMaxMatcher",
+    "MaximalCliques",
     "MinimumSpanningForest",
     "Node2Vec",
     "SpanningForest",
