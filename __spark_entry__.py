@@ -1346,6 +1346,72 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+_KATZ_IDX_L = 4
+_KATZ_IDX_BETA = 0.01
+
+
+def q_katz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz link-prediction index (L=4, β=0.01) over the deterministic
+    edge-pair sample on the 256-node graph. Per-length WALK counts are
+    integers — hash-exact cross-engine; the damped sum folds them in
+    the same left-associative order in both engines."""
+    from networkit_spark.operators.linkprediction import katz_index_scores
+
+    g = undirected_graph(spark, sf_dir, 256)
+    pairs = (
+        g.canonical()
+        .where((F.col("src") + F.col("dst")) % 7 == 0)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    out = katz_index_scores(
+        g, pairs, max_path_length=_KATZ_IDX_L, damping=_KATZ_IDX_BETA
+    )
+    cols = [
+        F.col("walks")[i].alias(f"w{i + 1}") for i in range(_KATZ_IDX_L)
+    ]
+    return out.select("u", "v", *cols, F.round("score", 9).alias("katz"))
+
+
+def q_katz_index_sql() -> str:
+    steps = [
+        """s0 AS MATERIALIZED (
+  SELECT DISTINCT u AS s FROM prs
+),
+k0 AS MATERIALIZED (SELECT s, s AS x, CAST(1 AS BIGINT) AS c FROM s0)"""
+    ]
+    for l in range(1, _KATZ_IDX_L + 1):
+        steps.append(
+            f"""k{l} AS MATERIALIZED (
+  SELECT st.s, a.dst AS x, CAST(sum(st.c) AS BIGINT) AS c
+  FROM k{l - 1} st JOIN adj a ON a.src = st.x
+  GROUP BY st.s, a.dst
+)"""
+        )
+    hit_joins = "\n".join(
+        f"LEFT JOIN k{l} h{l} ON h{l}.s = p.u AND h{l}.x = p.v"
+        for l in range(1, _KATZ_IDX_L + 1)
+    )
+    wcols = ", ".join(
+        f"coalesce(h{l}.c, 0) AS w{l}" for l in range(1, _KATZ_IDX_L + 1)
+    )
+    score = " + ".join(
+        f"CAST(coalesce(h{l}.c, 0) AS DOUBLE) * {_KATZ_IDX_BETA ** l!r}"
+        for l in range(1, _KATZ_IDX_L + 1)
+    )
+    return f"""
+WITH {_sql_undirected(256)},
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+prs AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE (src + dst) % 7 = 0
+),
+{",".join(steps)}
+SELECT p.u, p.v, {wcols}, round({score}, 9) AS katz
+FROM prs p
+{hit_joins}
+"""
+
+
 _MATCHING_ROUNDS = 20
 
 
@@ -2616,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kadabra": q_kadabra,
         "matching": q_matching,
         "maximal_cliques": q_maximal_cliques,
+        "katz_index": q_katz_index,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
@@ -2668,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": q_eigenvector_sql(),
         "katz": q_katz_sql(),
         "matching": q_matching_sql(),
+        "katz_index": q_katz_index_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),
