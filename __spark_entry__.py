@@ -1346,6 +1346,22 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRankNibble seed-set expansion (3 seeds, α=0.1, ε=1e-3) on
+    the 256-node graph — rows+schema gate (the batch ACL push is
+    deterministic but its round count is data-dependent and each round
+    is a full state rewrite, far past practical SQL unrolling; the
+    ε-invariant, mass conservation, and planted-community recovery are
+    pytest-gated in tests/test_scd.py)."""
+    from networkit_spark.operators.scd import PageRankNibble
+
+    g = undirected_graph(spark, sf_dir, 256)
+    nib = PageRankNibble(
+        g, seeds=[0, 1, 2], alpha=0.1, epsilon=1e-3
+    ).run()
+    return nib.get_communities().select("seed", "id")
+
+
 _KATZ_IDX_L = 4
 _KATZ_IDX_BETA = 0.01
 
@@ -2683,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": q_matching,
         "maximal_cliques": q_maximal_cliques,
         "katz_index": q_katz_index,
+        "pagerank_nibble": q_pagerank_nibble,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,

@@ -76,6 +76,7 @@ from networkit_spark.operators.biconnected import BiconnectedComponents
 from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
+from networkit_spark.operators.scd import PageRankNibble
 
 __all__ = [
     "ApproxBetweenness",
@@ -104,6 +105,7 @@ __all__ = [
     "LocalMaxMatcher",
     "MaximalCliques",
     "MinimumSpanningForest",
+    "PageRankNibble",
     "Node2Vec",
     "SpanningForest",
     "EffectiveDiameterApproximation",
