@@ -1346,6 +1346,36 @@ LEFT JOIN ti ON ti.id = n.id
 """
 
 
+def q_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curveball randomization (2 round-parallel trade rounds) on the
+    256-node graph, returning the DEGREE HISTOGRAM of the randomized
+    graph. The histogram is curveball's invariant — the oracle computes
+    the same histogram from the raw parquet, so a hash match PROVES the
+    degree sequence survived the trades (the randomized edge set itself
+    is seed-dependent engine state; simplicity/determinism are
+    pytest-gated in tests/test_randomization.py)."""
+    from networkit_spark.operators.randomization import Curveball
+
+    g = undirected_graph(spark, sf_dir, 256)
+    out = Curveball(g, number_of_rounds=2, seed=3).run().get_graph()
+    return (
+        out.symmetrized()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("d").alias("degree"), "n_nodes")
+    )
+
+
+def q_curveball_sql() -> str:
+    return f"""
+WITH {_sql_undirected(256)},
+dg AS (SELECT src AS id, count(*) AS d FROM (SELECT DISTINCT src, dst FROM sym) GROUP BY src)
+SELECT d AS degree, count(*) AS n_nodes FROM dg GROUP BY d
+"""
+
+
 def q_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRankNibble seed-set expansion (3 seeds, α=0.1, ε=1e-3) on
     the 256-node graph — rows+schema gate (the batch ACL push is
@@ -2692,7 +2722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_misc_scores": q_node_misc_scores,
         "eigenvector": q_eigenvector,
         "katz": q_katz,
-        "kpath": q_kpath,
         "node2vec": q_node2vec,
         "biconnected": q_biconnected,
         "kadabra": q_kadabra,
@@ -2700,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_cliques": q_maximal_cliques,
         "katz_index": q_katz_index,
         "pagerank_nibble": q_pagerank_nibble,
+        "curveball": q_curveball,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
@@ -2714,8 +2744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "link_pipeline_degree": q_link_pipeline_degree,
         "events_latest": q_events_latest,
-        # ---- past-window extras (redundant with gated rows) ----
-        "component_sizes": q_component_sizes,
+        # ---- past-window extras ----
+        # kpath is the one stochastic sampler with neither an oracle
+        # nor a stable rows-only value-add (seeded walks, pytest-gated
+        # in tests/test_kpath.py); component_sizes is fully redundant
+        # with components + graph_scalars.lcc_size and was retired from
+        # the registry (operator still exported and pytest-covered).
+        "kpath": q_kpath,
     }
 
 
@@ -2724,7 +2759,6 @@ def oracle_sql() -> dict[str, str]:
         "degree": q_degree_sql(),
         "pagerank": q_pagerank_sql(),
         "components": q_components_sql(),
-        "component_sizes": q_component_sizes_sql(),
         "plp": q_plp_sql(),
         "triangles": q_triangles_sql(),
         "lcc": q_lcc_sql(),
@@ -2753,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": q_katz_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
+        "curveball": q_curveball_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_tokens": q_doc_tokens_sql(),
         "doc_quality": q_doc_quality_sql(),

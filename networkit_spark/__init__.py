@@ -77,6 +77,10 @@ from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
 from networkit_spark.operators.scd import PageRankNibble
+from networkit_spark.operators.randomization import (
+    Curveball,
+    DegreePreservingShuffle,
+)
 
 __all__ = [
     "ApproxBetweenness",
@@ -101,6 +105,8 @@ __all__ = [
     "DynConnectedComponents",
     "DynWeaklyConnectedComponents",
     "BiconnectedComponents",
+    "Curveball",
+    "DegreePreservingShuffle",
     "KadabraBetweenness",
     "LocalMaxMatcher",
     "MaximalCliques",
