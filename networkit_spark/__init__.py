@@ -81,6 +81,9 @@ from networkit_spark.operators.randomization import (
     Curveball,
     DegreePreservingShuffle,
 )
+from networkit_spark.operators.flow import EdmondsKarp
+from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
+from networkit_spark.operators.dynkatz import DynKatzCentrality
 
 __all__ = [
     "ApproxBetweenness",
@@ -102,8 +105,12 @@ __all__ = [
     "CoreDecomposition",
     "Diameter",
     "Dijkstra",
+    "DynAPSP",
+    "DynBFS",
     "DynConnectedComponents",
+    "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
+    "EdmondsKarp",
     "BiconnectedComponents",
     "Curveball",
     "DegreePreservingShuffle",

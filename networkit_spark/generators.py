@@ -205,3 +205,200 @@ def rmat_like(
     ).withColumn("weight", F.lit(1.0))
     verts = spark.range(n).select(F.col("id").cast("long"))
     return Graph(edges, directed=directed, vertices=verts)
+
+
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    exponent: float = 3.0,
+    seed: int = 42,
+) -> Graph:
+    """Random hyperbolic graph, threshold variant
+    (``cpp/generators/HyperbolicGenerator.cpp``,
+    ``include/networkit/generators/HyperbolicGenerator.hpp:24`` —
+    Krioukov et al. 2010, public model): n points in the hyperbolic
+    disk of radius R, angle uniform, radius with density
+    ``α·sinh(αr)/(cosh(αR)−1)`` where ``α = (exponent−1)/2``; an edge
+    joins every pair at hyperbolic distance ≤ R. R is calibrated the
+    standard way (R ≈ 2·ln(8n/(π·k̄)) for α=1) so the expected average
+    degree is ~``avg_degree``; the degree law follows ``exponent``.
+
+    Spark plan — exact threshold graph without the n² scan:
+
+    - points from ``spark.range`` + inverse-CDF of seeded hashes
+      (deterministic, partition-stable);
+    - **inner** points (r ≤ R/2) are O(e^{−αR/2}·n) — broadcast and
+      test against everyone;
+    - **outer×outer** pairs use an angular band join: for
+      r1, r2 ≥ R/2 the reach Δθ_max(r1, r2) = arccos((cosh r1·cosh r2
+      − cosh R)/(sinh r1·sinh r2)) is maximal at r1 = r2 = R/2, so
+      bucketing angles at that width and joining each point with its
+      own + adjacent buckets covers every qualifying pair exactly;
+      the exact distance test then filters.
+
+    This is the banding idea of von Looz & Meyerhenke's generator
+    (the reference's own implementation), flattened to one exploded
+    equi-join.
+    """
+    import math
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    alpha = (exponent - 1.0) / 2.0
+    r_disk = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    theta = _unit_hash(F.col("id"), F.lit(seed)) * (2.0 * math.pi)
+    # inverse CDF of sinh density: F(r) = (cosh(αr)−1)/(cosh(αR)−1)
+    u = _unit_hash(F.col("id"), F.lit(seed + 1))
+    r = (
+        F.acosh(u * (math.cosh(alpha * r_disk) - 1.0) + 1.0) / alpha
+    )
+    pts = ids.select("id", theta.alias("th"), r.alias("r"))
+    pts = pts.localCheckpoint()
+
+    def hyp_close(t1, r1, t2, r2):
+        dth = F.abs(t1 - t2)
+        dth = F.least(dth, 2.0 * math.pi - dth)
+        coshd = (
+            F.cosh(r1) * F.cosh(r2) - F.sinh(r1) * F.sinh(r2) * F.cos(dth)
+        )
+        return coshd <= math.cosh(r_disk) + 1e-12
+
+    half = r_disk / 2.0
+    inner = pts.where(F.col("r") <= half)
+    outer = pts.where(F.col("r") > half)
+    # inner x all (inner is exponentially small): broadcast join
+    a = inner.select(
+        F.col("id").alias("src"), F.col("th").alias("t1"), F.col("r").alias("r1")
+    )
+    b = pts.select(
+        F.col("id").alias("dst"), F.col("th").alias("t2"), F.col("r").alias("r2")
+    )
+    e_inner = (
+        b.join(F.broadcast(a), F.col("src") != F.col("dst"))
+        .where(hyp_close(F.col("t1"), F.col("r1"), F.col("t2"), F.col("r2")))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    # outer x outer: band join at the maximal outer reach
+    cosw = (math.cosh(half) ** 2 - math.cosh(r_disk)) / (math.sinh(half) ** 2)
+    w = math.acos(max(-1.0, min(1.0, cosw)))
+    n_buckets = max(1, int(2.0 * math.pi / max(w, 1e-9)))
+    width = 2.0 * math.pi / n_buckets
+    ob = outer.select(
+        "id", "th", "r", (F.col("th") / width).cast("long").alias("b")
+    )
+    lhs = ob.select(
+        F.col("id").alias("src"), F.col("th").alias("t1"),
+        F.col("r").alias("r1"),
+        F.explode(
+            F.array(
+                F.pmod(F.col("b") - 1, F.lit(n_buckets)),
+                F.col("b"),
+                F.pmod(F.col("b") + 1, F.lit(n_buckets)),
+            )
+        ).alias("b"),
+    )
+    rhs = ob.select(
+        F.col("id").alias("dst"), F.col("th").alias("t2"),
+        F.col("r").alias("r2"), "b",
+    )
+    e_outer = (
+        lhs.join(rhs, "b")
+        .where(F.col("src") < F.col("dst"))
+        .where(hyp_close(F.col("t1"), F.col("r1"), F.col("t2"), F.col("r2")))
+        .select("src", "dst")
+        .distinct()
+    )
+    # inner-inner pairs appear in e_inner only (outer band excludes them)
+    edges = e_inner.unionAll(e_outer).distinct().withColumn(
+        "weight", F.lit(1.0)
+    )
+    return Graph(edges, directed=False, vertices=ids)
+
+
+def lfr_like(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 8.0,
+    exponent: float = 2.5,
+    community_exponent: float = 1.5,
+    min_community: int = 8,
+    mu: float = 0.2,
+    seed: int = 42,
+):
+    """LFR-style community benchmark graph
+    (``include/networkit/generators/LFRGenerator.hpp:26``; Lancichinetti,
+    Fortunato & Radicchi 2008, public model), expected-degree variant —
+    named ``_like`` for the same reason as :func:`barabasi_albert_like`:
+    the reference rewires to EXACT degree sequences, this generator
+    keeps the LFR structure (power-law degrees with exponent
+    ``exponent``, power-law community sizes with ``community_exponent``,
+    mixing fraction ``mu`` of inter-community edge mass) but realizes
+    it Chung-Lu style, which is the distributed-friendly formulation.
+
+    Returns ``(Graph, ground_truth)`` where ground_truth is
+    ``(id, label)`` — the planted partition for community-detection
+    tests (PLP/PLM recover it at low ``mu``).
+    """
+    import math
+
+    if not (0.0 <= mu <= 1.0):
+        raise ValueError("mu must be in [0, 1]")
+    # community sizes ∝ s^-community_exponent over a bounded range:
+    # assign nodes to communities by hashed power-law draw over
+    # n/min_community slots, then rank-compact
+    n_comm = max(1, n // min_community)
+    u_c = _unit_hash(F.col("id"), F.lit(seed + 7))
+    beta = 1.0 / max(community_exponent - 1.0, 0.25)
+    comm = (u_c * (n_comm ** beta)).cast("double")
+    label = F.least(
+        F.lit(n_comm - 1), F.pow(comm, 1.0 / beta).cast("long")
+    )
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    members = ids.select("id", label.alias("label"))
+    members = members.localCheckpoint()
+
+    # per-node Chung-Lu weight (power-law)
+    alpha = 1.0 / (exponent - 1.0)
+    s = float(sum((i + 1.0) ** -alpha for i in range(n)))
+    c = n * avg_degree / s
+    wcol = (F.pow(F.col("id") + 1.0, -alpha) * c).alias("w")
+
+    lab_u = members.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    lab_v = members.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    pairs = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("src"),
+            (F.col("id") % n).cast("long").alias("dst"),
+        )
+        .where(F.col("src") < F.col("dst"))
+        .join(lab_u, "src")
+        .join(lab_v, "dst")
+    )
+    wu = F.pow(F.col("src") + 1.0, -alpha) * c
+    wv = F.pow(F.col("dst") + 1.0, -alpha) * c
+    base_p = F.least(F.lit(1.0), wu * wv / F.lit(n * avg_degree))
+    same = F.col("lu") == F.col("lv")
+    # LFR mixing: rescale so the expected INTRA edge-mass fraction is
+    # (1−mu). q = intra share under unscaled Chung-Lu (one aggregate);
+    # intra mass × (1−mu)/q, inter mass × mu/(1−q) keeps the total
+    # expected degree ~avg_degree while planting the mixing structure.
+    shares = pairs.agg(
+        F.sum(F.when(same, base_p)).alias("intra"),
+        F.sum(base_p).alias("tot"),
+    ).collect()[0]
+    q = max(1e-9, min(1.0 - 1e-9, float(shares["intra"] / shares["tot"])))
+    p = F.when(
+        same, F.least(F.lit(1.0), base_p * ((1.0 - mu) / q))
+    ).otherwise(base_p * (mu / (1.0 - q)))
+    edges = pairs.where(
+        _unit_hash(F.col("src"), F.col("dst"), F.lit(seed)) < p
+    ).select("src", "dst", F.lit(1.0).alias("weight"))
+    g = Graph(edges, directed=False, vertices=ids)
+    return g, members

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
 from networkit_spark.operators.distance import BFS
-from networkit_spark.plans.iterate import Materializer
+from networkit_spark.plans.iterate import Materializer, local_cut
 from networkit_spark.streaming.events import EDGE_ADDITION, apply_events
 
 
@@ -108,4 +108,114 @@ class DynBFS(Algorithm):
             )
         nbrs.unpersist()
         self.graph = g
+        self._dist = dist
+
+
+class DynAPSP(Algorithm):
+    """Dynamic all-pairs hop distances — insert-incremental.
+
+    Reference: ``DynAPSP`` (``cpp/distance/DynAPSP.cpp:71-180``):
+    accepts edge insertions (and weight decreases) only — other event
+    types raise; per inserted edge (u, v) it finds affected sources by
+    a truncated BFS and relaxes ``d(x, y) = min(d(x, y),
+    d(x, u) + w + d(v, y))`` (both orientations when undirected).
+
+    Spark re-expression: the affected-source BFS is a sequential-pruning
+    trick; distributed, the same relaxation is ONE join per inserted
+    -edge batch — ``dist(x, u) ⨝ dist(v, y)`` through the batch frame —
+    iterated to a fixpoint (distances are monotone non-increasing; a
+    path through k new edges settles within k rounds, so the loop is
+    bounded by the batch size). State matches APSP's ``(source, id,
+    dist)`` frame, including its landmark-subset (SPSP) mode — at scale
+    you maintain the landmark rows, not n².
+
+    NOTE: like the reference, NEW node pairs connected for the first
+    time get rows only if a relaxation path through an inserted edge
+    reaches them from existing state (hop graphs: the reference
+    initializes unreachable pairs to infinity; our frame simply lacks
+    the row, and the relaxation inserts it).
+    """
+
+    def __init__(self, graph: Graph, sources: DataFrame | None = None) -> None:
+        super().__init__(graph)
+        self.sources = sources
+        self._dist: DataFrame | None = None
+
+    def _run(self) -> None:
+        from networkit_spark.operators.distance import APSP
+
+        apsp = APSP(self.graph, sources=self.sources).run()
+        self._dist = local_cut(apsp.distances())
+
+    def distances(self) -> DataFrame:
+        """``(source, id, dist)`` (``DynAPSP::getDistances``)."""
+        self.assure_finished()
+        return self._dist
+
+    def update(self, events: DataFrame) -> None:
+        """Apply an EDGE_ADDITION batch (hop semantics, weight 1) and
+        relax all maintained pairs to the new shortest distances."""
+        self.assure_finished()
+        bad = events.where(
+            (F.col("etype") != EDGE_ADDITION)
+            | (F.col("w").isNotNull() & (F.col("w") != F.lit(1.0)))
+        )
+        if bool(bad.limit(1).count()):
+            raise RuntimeError(
+                "event type not allowed. Edge insertions only "
+                "(DynAPSP.cpp:71-73, hop-distance variant)"
+            )
+        g = apply_events(self.graph, events)
+        self.graph = g
+        ins = events.select("u", "v")
+        if not g.directed:
+            ins = ins.unionAll(
+                ins.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        ins = local_cut(ins.distinct())
+        dist = self._dist
+        for _ in range(1 + ins.count()):
+            left = dist.select(
+                F.col("source").alias("x"), F.col("id").alias("u"),
+                F.col("dist").alias("dxu"),
+            )
+            right = dist.select(
+                F.col("source").alias("v2"), F.col("id").alias("y"),
+                F.col("dist").alias("dvy"),
+            )
+            through = (
+                left.join(ins.select(F.col("u"), F.col("v").alias("v2")), "u")
+                .join(right, "v2")
+                .select(
+                    F.col("x").alias("source"), F.col("y").alias("id"),
+                    (F.col("dxu") + 1 + F.col("dvy")).alias("cand"),
+                )
+                .groupBy("source", "id")
+                .agg(F.min("cand").alias("cand"))
+            )
+            merged = (
+                dist.join(through, ["source", "id"], "full_outer")
+                .select(
+                    "source", "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("cand", F.lit(float("inf"))),
+                    ).alias("dist"),
+                )
+            )
+            merged = local_cut(merged)
+            changed = (
+                merged.join(
+                    dist.withColumnRenamed("dist", "old"),
+                    ["source", "id"],
+                    "left",
+                )
+                .where(
+                    F.col("old").isNull() | (F.col("dist") < F.col("old"))
+                )
+                .count()
+            )
+            dist = merged
+            if changed == 0:
+                break
         self._dist = dist

@@ -158,7 +158,11 @@ def main() -> None:
         f.write(json.dumps(result) + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling_last.md"), "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
+            f"""# Last scaling run ({n_low}→{n_high} cores) — raw record
+
+This file is overwritten by every `scripts/scaling_bench.py` run and
+holds the LAST run only. The curated north-rule evidence (headline
+pair, all pairs, saturation analysis) is `BENCH/BASELINE.md`.
 
 Same job (PageRank power iteration, damping 0.85, {ITERS} fixed
 rounds), same input (`{sf_dir}` link graph × {REPLICAS} disjoint

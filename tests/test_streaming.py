@@ -297,3 +297,80 @@ def test_dynbfs_equals_fresh_run(spark):
     )
     with pytest.raises(RuntimeError):
         dyn.update(bad)
+
+
+def test_dynapsp_equals_fresh_run(spark):
+    import datetime
+
+    from networkit_spark.operators.distance import APSP
+    from networkit_spark.operators.dyndistance import DynAPSP
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    # path 0-1-2-3-4 plus isolated pair 6-7; insert shortcut 0-4 and
+    # bridge 4-6 — relaxation must chain THROUGH both new edges
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)])
+    dyn = DynAPSP(g).run()
+    before = {
+        (r["source"], r["id"]): r["dist"]
+        for r in dyn.distances().collect()
+    }
+    assert before[(0, 4)] == 4
+    assert (0, 6) not in before
+
+    ts = datetime.datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(ts, "EDGE_ADDITION", 0, 4, 1.0), (ts, "EDGE_ADDITION", 4, 6, 1.0)],
+        EVENT_SCHEMA,
+    )
+    dyn.update(events)
+    got = {
+        (r["source"], r["id"]): r["dist"]
+        for r in dyn.distances().collect()
+    }
+    want = {
+        (r["source"], r["id"]): r["dist"]
+        for r in APSP(dyn.graph).run().distances().collect()
+    }
+    assert got == want
+    assert got[(0, 4)] == 1 and got[(0, 6)] == 2 and got[(0, 7)] == 3
+
+    bad = spark.createDataFrame([(ts, "EDGE_REMOVAL", 0, 1, 1.0)], EVENT_SCHEMA)
+    with pytest.raises(RuntimeError):
+        dyn.update(bad)
+
+
+def test_dynkatz_equals_fresh_run(spark):
+    import datetime
+
+    from networkit_spark.operators.dynkatz import DynKatzCentrality
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    dyn = DynKatzCentrality(g, levels=6).run()
+    alpha = dyn.alpha
+
+    ts = datetime.datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(ts, "EDGE_ADDITION", 0, 3, 1.0), (ts, "EDGE_ADDITION", 4, 5, 1.0)],
+        EVENT_SCHEMA,
+    )
+    dyn.update(events)
+    got = {
+        r["id"]: round(r["score"], 10) for r in dyn.scores().collect()
+    }
+    fresh = DynKatzCentrality(dyn.graph, levels=6, alpha=alpha).run()
+    want = {
+        r["id"]: round(r["score"], 10) for r in fresh.scores().collect()
+    }
+    assert got == want
+    # inserting an already-present edge is a no-op on walk mass
+    dup = spark.createDataFrame(
+        [(ts, "EDGE_ADDITION", 0, 1, 1.0)], EVENT_SCHEMA
+    )
+    dyn.update(dup)
+    got2 = {r["id"]: round(r["score"], 10) for r in dyn.scores().collect()}
+    assert got2 == got
+
+    bad = spark.createDataFrame([(ts, "EDGE_REMOVAL", 0, 1, 1.0)], EVENT_SCHEMA)
+    with pytest.raises(RuntimeError):
+        dyn.update(bad)
