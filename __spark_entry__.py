@@ -2605,16 +2605,31 @@ def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row scalar panel: exact diameter bounds, ANF effective
     diameter, largest-component (label, size), modularity of the
     hash-min partition, degree assortativity."""
-    d = q_diameter(spark, sf_dir).select(
-        F.col("lower").alias("diam_lower"), F.col("upper").alias("diam_upper")
+    # each part is a 1-row scalar; collect driver-side and emit one
+    # literal row — crossJoining the five plan-heavy branches instead
+    # re-analyzes/re-executes the iterative lineages (measured 326 s vs
+    # ~34 s for the parts at sf0.01)
+    d = q_diameter(spark, sf_dir).collect()[0]
+    e = q_effective_diameter(spark, sf_dir).collect()[0]
+    l = q_largest_component(spark, sf_dir).collect()[0]
+    m = q_modularity(spark, sf_dir).collect()[0]
+    a = q_assortativity(spark, sf_dir).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                d["lower"],
+                d["upper"],
+                e["effective_diameter"],
+                l["label"],
+                l["size"],
+                m["modularity"],
+                a["assortativity"],
+            )
+        ],
+        "diam_lower long, diam_upper long, effective_diameter double, "
+        "lcc_label long, lcc_size long, modularity double, "
+        "assortativity double",
     )
-    e = q_effective_diameter(spark, sf_dir)
-    l = q_largest_component(spark, sf_dir).select(
-        F.col("label").alias("lcc_label"), F.col("size").alias("lcc_size")
-    )
-    m = q_modularity(spark, sf_dir)
-    a = q_assortativity(spark, sf_dir)
-    return d.crossJoin(e).crossJoin(l).crossJoin(m).crossJoin(a)
 
 
 def q_graph_scalars_sql() -> str:

@@ -24,7 +24,7 @@ from networkit_spark.operators.degree import (
     PermanenceCentrality,
     Sfigality,
 )
-from networkit_spark.operators.group import GroupDegree
+from networkit_spark.operators.group import GroupCloseness, GroupDegree
 from networkit_spark.operators.kpath import KPathCentrality
 from networkit_spark.operators.pagerank import PageRank
 from networkit_spark.operators.components import (
@@ -87,6 +87,7 @@ from networkit_spark.operators.dynkatz import DynKatzCentrality
 
 __all__ = [
     "ApproxBetweenness",
+    "GroupCloseness",
     "GroupDegree",
     "KPathCentrality",
     "LaplacianCentrality",

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.plans.iterate import local_cut
+from networkit_spark.operators.distance import BFS
+from networkit_spark.plans.iterate import Materializer, local_cut
 
 
 class GroupDegree(Algorithm):
@@ -111,3 +112,202 @@ class GroupDegree(Algorithm):
         """``GroupDegree::getScore`` (``GroupDegree.hpp:91-94``)."""
         self.assure_finished()
         return self._score
+
+
+class GroupCloseness(Algorithm):
+    """Greedy group-closeness maximization —
+    ``cpp/centrality/GroupCloseness.cpp:83-205``: start from the top
+    closeness node (``H == 0``; max-degree node when ``H > 0``,
+    ``GroupCloseness.cpp:103-109``), then ``k − 1`` greedy rounds each
+    adding the node whose addition most decreases the group farness
+    ``Σ_v d(v, S)``. The reference evaluates candidates one at a time
+    through a lazy bucket queue with submodular bounds (a sequential
+    optimization that does not change the argmax); this engine scores
+    EVERY candidate per round in one batched pruned BFS.
+
+    Key identity (why batching is exact): the reference's
+    ``computeImprovement`` BFS relaxes from ``u`` only where it improves
+    the current field ``d``; because ``d`` is a true distance field
+    (triangle inequality holds), a relaxation path blocked at an
+    unimproved vertex ``x`` cannot improve anything past ``x`` either
+    (``d[w] ≤ d[x] + dist(x, w) ≤ dist(u, w)``), so
+    ``improvement(u) = Σ_v max(0, d[v] − dist(u, v))`` exactly — the
+    batched frontier only carries pairs ``(u, v)`` with
+    ``dist(u, v) < d[v]``, the same pruning the reference applies
+    per-candidate.
+
+    Candidate filter mirrors ``GroupCloseness.cpp:183-184``: only nodes
+    with ``deg > 1``, ``d > 0`` and not (``d == 1`` and ``deg == 2``)
+    are evaluated. ``H > 0`` bounds the improvement BFS to parent level
+    ``≤ H`` (children up to ``H + 1`` counted, matching the pop-order
+    break at ``GroupCloseness.cpp:36``), while the post-pick distance
+    update is always unbounded (``newDistances(S[i], n, G, 0)``,
+    ``GroupCloseness.cpp:200``).
+
+    Documented divergences:
+
+    - ties break toward the smallest node id (the reference's OpenMP
+      race on ``imp > currentImpr`` makes its ties nondeterministic);
+    - unreachable vertices take the finite sentinel ``d = n`` instead
+      of the reference's ``(count)∞`` (whose improvement sums overflow
+      uint64 on disconnected graphs); qualitative behavior — candidates
+      covering unreached components dominate — is preserved without the
+      overflow.
+    """
+
+    def __init__(self, graph: Graph, k: int = 5, h: int = 0) -> None:
+        if k <= 0:
+            raise ValueError("k must be between 1 and n")
+        super().__init__(graph)
+        self.k = k
+        self.h = int(h)
+        self._group: list[int] = []
+        self._d: DataFrame | None = None
+
+    def _pruned_bfs(
+        self, sym: DataFrame, sources: DataFrame, d: DataFrame, h: int
+    ):
+        """Batched multi-source BFS relaxing only improving pairs.
+
+        ``sources``: (u) rows. Returns (u, v, nd) with
+        ``nd = dist(u, v) < d[v]`` (parent level capped at ``h`` when
+        ``h > 0``).
+        """
+        mat = Materializer()
+        dcol = d.select(F.col("id").alias("v"), F.col("d").alias("cur"))
+        frontier = mat.cut(
+            0,
+            sources.select(
+                F.col("u"), F.col("u").alias("v"), F.lit(0).alias("nd")
+            ),
+        )
+        best = frontier
+        level = 0
+        while True:
+            if h > 0 and level > h:
+                break
+            nxt = (
+                sym.join(frontier.hint("shuffle_hash"), sym.src == frontier.v)
+                .select("u", F.col("dst").alias("v"))
+                .distinct()
+                .withColumn("nd", F.lit(level + 1))
+                .join(dcol, "v")
+                .where(F.col("nd") < F.col("cur"))
+                .drop("cur")
+                .join(best.select("u", "v"), ["u", "v"], "left_anti")
+                .select("u", "v", "nd")
+            )
+            nxt = mat.cut(level + 1, nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            level += 1
+            best = mat.cut(level, best.unionAll(nxt))
+            frontier = nxt
+        return best
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        n = g.number_of_nodes()
+        if self.k > n:
+            raise ValueError("k must be between 1 and n")
+        sym = (
+            (g.edges if g.directed else g.symmetrized())
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        # S[0]: top closeness node for H == 0 (TopCloseness(G, 1),
+        # GroupCloseness.cpp:104-107), max-degree node for H > 0
+        # (GroupCloseness.cpp:100-109; its std::sort tie is unspecified
+        # — smallest id here)
+        if self.h == 0:
+            from networkit_spark.operators.betweenness import TopCloseness
+
+            top = TopCloseness(g, 1).run().topk_nodes_list()[0]
+        else:
+            top = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).collect()[
+                0
+            ]["id"]
+        group = [int(top)]
+        # d[v] = dist(v, S); sentinel n for unreached (see docstring)
+        bfs = BFS(g, int(top)).run()
+        d = local_cut(
+            g.vertices.join(
+                bfs.distances().withColumnRenamed("dist", "d0"), "id", "left"
+            ).select("id", F.coalesce("d0", F.lit(n)).alias("d"))
+        )
+        for _ in range(1, self.k):
+            in_group = F.col("id").isin([int(x) for x in group])
+            cand = (
+                d.join(deg, "id", "left")
+                .select("id", "d", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .where(
+                    (F.col("deg") > 1)
+                    & (F.col("d") > 0)
+                    & ~((F.col("d") == 1) & (F.col("deg") == 2))
+                    & ~in_group
+                )
+                .select(F.col("id").alias("u"))
+            )
+            reached = self._pruned_bfs(sym, cand, d, self.h)
+            imp = (
+                reached.join(
+                    d.select(F.col("id").alias("v"), "d"), "v"
+                )
+                .groupBy("u")
+                .agg(F.sum(F.col("d") - F.col("nd")).alias("improvement"))
+            )
+            pick = (
+                imp.orderBy(F.desc("improvement"), F.asc("u"))
+                .limit(1)
+                .collect()
+            )
+            if not pick:
+                break
+            u = int(pick[0]["u"])
+            group.append(u)
+            if self.h == 0:
+                upd = reached.where(F.col("u") == u)
+            else:
+                upd = self._pruned_bfs(
+                    sym,
+                    spark.createDataFrame([(u,)], "u long"),
+                    d,
+                    0,
+                )
+            d = local_cut(
+                d.join(
+                    upd.select(F.col("v").alias("id"), "nd"), "id", "left"
+                ).select("id", F.least("d", F.col("nd")).alias("d"))
+            )
+        sym.unpersist()
+        self._group = group
+        self._d = d
+
+    def group_max_closeness(self) -> list[int]:
+        """``GroupCloseness::groupMaxCloseness`` (reference accessor)."""
+        self.assure_finished()
+        return self._group
+
+    def distances(self) -> DataFrame:
+        """Final ``(id, d)`` distance-to-group field (sentinel ``n``
+        for unreachable)."""
+        self.assure_finished()
+        return self._d
+
+    def compute_farness(self) -> float:
+        """``GroupCloseness::computeFarness`` of the selected group —
+        Σ of reached distances (the reference's visited-only sum,
+        ``GroupCloseness.cpp:208-237``)."""
+        self.assure_finished()
+        n = self.graph.number_of_nodes()
+        return float(
+            self._d.where(F.col("d") < n)
+            .agg(F.sum("d").alias("s"))
+            .collect()[0]["s"]
+        )
