@@ -1653,6 +1653,123 @@ adj AS MATERIALIZED (SELECT src, dst FROM sym),
 """
 
 
+_GC_K = 4  # group-closeness greedy rounds in the merged group query
+
+
+def q_group_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged group-centrality gate: GroupDegree (k=4, V_SMALL graph)
+    and GroupCloseness (k=4, thin 256-node graph) as
+    ``(method, id, pick_order)`` rows. Both greedy chains are
+    deterministic (exact gains, ties to smallest id), so both unroll to
+    SQL: GroupDegree as before; GroupCloseness from a full
+    recursive-CTE APSP — pick 1 is the top (generalized) closeness
+    node, then each round picks argmax of
+    ``Σ_v max(0, d[v] − dist(u, v))`` over the reference-filtered
+    candidates (``GroupCloseness.cpp:183-184``) and relaxes the
+    distance field (sentinel n for unreached, matching the operator's
+    documented divergence)."""
+    from networkit_spark.operators.group import GroupCloseness, GroupDegree
+
+    g = undirected_graph(spark, sf_dir)
+    gd = GroupDegree(g, k=_GROUP_DEGREE_K).run()
+    tg = _thin_undirected_graph(spark, sf_dir)
+    gc = GroupCloseness(tg, k=_GC_K).run()
+    rows = [
+        ("degree", int(u), i) for i, u in enumerate(gd.group_max_degree())
+    ] + [
+        ("closeness", int(u), i)
+        for i, u in enumerate(gc.group_max_closeness())
+    ]
+    return spark.createDataFrame(
+        rows, "method string, id long, pick_order int"
+    )
+
+
+def _group_closeness_parts() -> tuple[str, str]:
+    rounds = []
+    for i in range(2, _GC_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT id FROM gp{j}" for j in range(1, i)
+        )
+        rounds.append(
+            f"""gc{i} AS (
+  SELECT dd.id FROM gd{i - 1} dd JOIN cdeg USING (id)
+  WHERE cdeg.dg > 1 AND dd.d > 0 AND NOT (dd.d = 1 AND cdeg.dg = 2)
+    AND dd.id NOT IN ({picked})
+),
+gimp{i} AS (
+  SELECT c.id AS u, sum(dd.d - t.d) AS imp
+  FROM gc{i} c
+  JOIN cdist t ON t.s = c.id
+  JOIN gd{i - 1} dd ON dd.id = t.v
+  WHERE t.d < dd.d
+  GROUP BY c.id
+),
+gp{i} AS MATERIALIZED (
+  SELECT u AS id FROM gimp{i} ORDER BY imp DESC, u ASC LIMIT 1
+),
+gd{i} AS MATERIALIZED (
+  SELECT dd.id, least(dd.d, coalesce(t.d, dd.d)) AS d
+  FROM gd{i - 1} dd
+  LEFT JOIN cdist t
+    ON t.s = (SELECT id FROM gp{i}) AND t.v = dd.id
+)"""
+        )
+    out = " UNION ALL ".join(
+        f"SELECT 'closeness' AS method, id, CAST({j - 1} AS INTEGER)"
+        f" AS pick_order FROM gp{j}"
+        for j in range(1, _GC_K + 1)
+    )
+    ctes = f"""{_SQL_THIN_UNDIRECTED},
+cwalk (s, v, d) AS (
+  SELECT id AS s, id AS v, 0 FROM nodes
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM cwalk w JOIN e ON e.src = w.v
+  WHERE w.d < {_BC_HOPS + 2}
+),
+cdist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM cwalk GROUP BY s, v),
+cnn AS (SELECT count(*) AS n FROM nodes),
+cdeg AS (SELECT src AS id, count(*) AS dg FROM e GROUP BY src),
+cclo AS (
+  SELECT s AS id,
+         CASE WHEN sum(d) > 0
+              THEN (count(*) - 1.0) / sum(d) / ((SELECT n FROM cnn) - 1.0)
+              ELSE 0.0 END AS score
+  FROM cdist GROUP BY s
+),
+gp1 AS MATERIALIZED (
+  SELECT id FROM cclo ORDER BY score DESC, id ASC LIMIT 1
+),
+gd1 AS MATERIALIZED (
+  SELECT nd.id, coalesce(t.d, (SELECT n FROM cnn)) AS d
+  FROM nodes nd
+  LEFT JOIN cdist t ON t.s = (SELECT id FROM gp1) AND t.v = nd.id
+),
+{",".join(rounds)}"""
+    return ctes, out
+
+
+def q_group_selection_sql() -> str:
+    ctes, out = _group_closeness_parts()
+    # the standalone group-degree SQL (its own nested WITH) becomes a
+    # subquery emitting the method column
+    # the inner query's top-level UNION ALL must be wrapped in a
+    # subselect: under WITH RECURSIVE, DuckDB mis-binds a CTE body of
+    # the form `WITH ... SELECT ... UNION ALL ...` (the nested CTEs
+    # vanish from the union's scope)
+    return f"""
+WITH RECURSIVE gdq AS (
+SELECT * FROM (
+{q_group_degree_sql()}
+)
+),
+{ctes.lstrip()}
+SELECT 'degree' AS method, id, pick_order FROM gdq
+UNION ALL
+{out}
+"""
+
+
 def q_missing_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MissingLinksFinder.findAtDistance(2): non-adjacent pairs with at
     least one common neighbor (exact distance 2), u < v."""
@@ -2732,7 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "neighbors_measure": q_neighbors_measure,
         "missing_links": q_missing_links,
-        "group_degree": q_group_degree,
+        "group_selection": q_group_selection,
         "same_community": q_same_community,
         "node_misc_scores": q_node_misc_scores,
         "eigenvector": q_eigenvector,
@@ -2786,7 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_all": q_closeness_all_sql(),
         "plm": q_plm_sql(),
         "graph_scalars": q_graph_scalars_sql(),
-        "group_degree": q_group_degree_sql(),
+        "group_selection": q_group_selection_sql(),
         "bfs_hops": q_bfs_hops_sql(),
         "apsp": q_apsp_sql(),
         "sssp": q_sssp_sql(),

@@ -24,7 +24,11 @@ from networkit_spark.operators.degree import (
     PermanenceCentrality,
     Sfigality,
 )
-from networkit_spark.operators.group import GroupCloseness, GroupDegree
+from networkit_spark.operators.group import (
+    ApproxGroupBetweenness,
+    GroupCloseness,
+    GroupDegree,
+)
 from networkit_spark.operators.kpath import KPathCentrality
 from networkit_spark.operators.pagerank import PageRank
 from networkit_spark.operators.components import (
@@ -82,11 +86,13 @@ from networkit_spark.operators.randomization import (
     DegreePreservingShuffle,
 )
 from networkit_spark.operators.flow import EdmondsKarp
+from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
 from networkit_spark.operators.dynkatz import DynKatzCentrality
 
 __all__ = [
     "ApproxBetweenness",
+    "ApproxGroupBetweenness",
     "GroupCloseness",
     "GroupDegree",
     "KPathCentrality",
@@ -112,6 +118,7 @@ __all__ = [
     "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
     "EdmondsKarp",
+    "GedWalk",
     "BiconnectedComponents",
     "Curveball",
     "DegreePreservingShuffle",

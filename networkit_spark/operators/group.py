@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
-from networkit_spark.operators.distance import BFS
+from networkit_spark.operators.distance import APSP, BFS
 from networkit_spark.plans.iterate import Materializer, local_cut
 
 
@@ -311,3 +311,206 @@ class GroupCloseness(Algorithm):
             .agg(F.sum("d").alias("s"))
             .collect()[0]["s"]
         )
+
+
+class ApproxGroupBetweenness(Algorithm):
+    """Sampled group-betweenness maximization —
+    ``cpp/centrality/ApproxGroupBetweenness.cpp:37-141`` (Mahmoody,
+    Tsourakakis & Upfal, "Scalable Betweenness Centrality Maximization
+    via Sampling", KDD 2016): draw ``⌈k·ln(n)/ε²⌉`` random (s, t)
+    pairs, for each sample one uniform shortest s→t path and keep its
+    INTERIOR vertices as a hyperedge, then greedily pick the k nodes
+    covering the most uncovered hyperedges.
+
+    Spark re-expression:
+
+    - all samples' BFS trees advance together (one batched
+      ``(source, id, dist)`` frontier — the EstimateBetweenness shape;
+      duplicate sources deduped);
+    - the backward path walk advances ALL samples one step per round
+      (``O(max dist)`` rounds): a step joins the walk head with its
+      predecessor set ``{u : (u→cur) ∧ dist(s,u)+1 = dist(s,cur)}`` and
+      keeps the min seeded-hash candidate;
+    - greedy max-coverage is k join-agg rounds (the GroupDegree shape):
+      count alive hyperedges per node, pick the max, anti-join away the
+      hyperedges it covers.
+
+    Documented divergences (the reference is RNG-order-dependent, so
+    bit-parity is not meaningful): sampling and the uniform
+    predecessor choice use seeded ``xxhash64`` draws instead of a
+    global RNG (deterministic under a fixed seed); greedy ties break
+    toward the smallest node id (reference: bucket-queue order); the
+    reference picks its per-step predecessor uniformly from the
+    predecessor LIST (``Aux::Random::integer``), which is the same
+    distribution as min-hash over the same set.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        group_size: int,
+        epsilon: float = 0.1,
+        seed: int = 42,
+        max_hops: int = 10_000,
+    ) -> None:
+        super().__init__(graph)
+        if graph.directed:
+            raise ValueError("the graph must be undirected")
+        if epsilon <= 0:
+            raise ValueError("epsilon must be greater than 0")
+        self.group_size = int(group_size)
+        self.epsilon = float(epsilon)
+        self.seed = int(seed)
+        self.max_hops = max_hops
+        self._group: list[int] = []
+
+    def _run(self) -> None:
+        import math
+
+        g = self.graph
+        spark = g.edges.sparkSession
+        n = g.number_of_nodes()
+        if self.group_size == 0 or self.group_size >= n:
+            # reference ctor contract (ApproxGroupBetweenness.cpp:27-30)
+            raise ValueError("the group size must be between 1 and n-1")
+        samples = max(
+            1, int(self.group_size * math.log(n) / (self.epsilon**2))
+        )
+        sym = (
+            g.symmetrized()
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        # deterministic (s, t) draws: rank vertices once, index by
+        # seeded hash of the sample id (t re-drawn with a lane salt; a
+        # residual s == t collision just yields an empty hyperedge,
+        # which the reference also tolerates via its components check)
+        from pyspark.sql import Window
+
+        ranked = g.vertices.select(
+            "id",
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("pos"),
+        )
+        sids = spark.range(samples).select(F.col("id").alias("sample"))
+        draws = (
+            sids.select(
+                "sample",
+                F.pmod(
+                    F.xxhash64(F.col("sample"), F.lit("s"), F.lit(self.seed)),
+                    F.lit(n),
+                ).alias("spos"),
+                F.pmod(
+                    F.xxhash64(F.col("sample"), F.lit("t"), F.lit(self.seed)),
+                    F.lit(n),
+                ).alias("tpos"),
+            )
+            .join(
+                ranked.select(F.col("pos").alias("spos"), F.col("id").alias("s")),
+                "spos",
+            )
+            .join(
+                ranked.select(F.col("pos").alias("tpos"), F.col("id").alias("t")),
+                "tpos",
+            )
+            .select("sample", "s", "t")
+            .where(F.col("s") != F.col("t"))
+        )
+        draws = local_cut(draws)
+        # batched BFS from the distinct sources
+        srcs = [int(r["s"]) for r in draws.select("s").distinct().collect()]
+        apsp = APSP(g, sources=srcs, max_hops=self.max_hops).run()
+        dist = apsp.distances().withColumnRenamed("source", "s").persist()
+        # per-sample target distance; unreachable pairs drop out (the
+        # reference's empty-hyperedge case)
+        heads = local_cut(
+            draws.join(
+                dist.select("s", F.col("id").alias("t"), F.col("dist").alias("td")),
+                ["s", "t"],
+            ).select("sample", "s", F.col("t").alias("cur"), F.col("td").alias("rem"))
+        )
+        mat = Materializer()
+        interiors = []
+        step = 0
+        # walk back rem-1 predecessors; stop when every walk is at rem <= 1
+        while True:
+            alive = heads.where(F.col("rem") > 1)
+            if alive.limit(1).count() == 0:
+                break
+            step += 1
+            cand = (
+                alive.join(
+                    sym.select(F.col("dst").alias("cur"), F.col("src").alias("p")),
+                    "cur",
+                )
+                .join(
+                    dist.select(
+                        "s", F.col("id").alias("p"), F.col("dist").alias("pd")
+                    ),
+                    ["s", "p"],
+                )
+                .where(F.col("pd") == F.col("rem") - 1)
+            )
+            w = Window.partitionBy("sample").orderBy(
+                F.xxhash64("sample", "p", F.lit(step), F.lit(self.seed)),
+                F.asc("p"),
+            )
+            nxt = (
+                cand.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select(
+                    "sample",
+                    "s",
+                    F.col("p").alias("cur"),
+                    (F.col("rem") - 1).alias("rem"),
+                )
+            )
+            nxt = mat.cut(step, nxt)
+            interiors.append(nxt.select("sample", F.col("cur").alias("id")))
+            heads = nxt
+        if interiors:
+            hyper = interiors[0]
+            for part in interiors[1:]:
+                hyper = hyper.unionAll(part)
+            hyper = local_cut(hyper.distinct())
+        else:
+            hyper = spark.createDataFrame([], "sample long, id long")
+        dist.unpersist()
+        # greedy max coverage, k rounds
+        group: list[int] = []
+        alive = hyper
+        for _ in range(self.group_size):
+            counts = alive.groupBy("id").agg(
+                F.countDistinct("sample").alias("cov")
+            )
+            if group:
+                counts = counts.where(~F.col("id").isin(group))
+            pick = (
+                counts.orderBy(F.desc("cov"), F.asc("id")).limit(1).collect()
+            )
+            if not pick:
+                # all hyperedges covered — fall back to smallest
+                # unpicked vertices (reference: extracts remaining queue
+                # order; deterministic here)
+                rest = (
+                    g.vertices.where(~F.col("id").isin(group))
+                    .orderBy("id")
+                    .limit(self.group_size - len(group))
+                    .collect()
+                )
+                group.extend(int(r["id"]) for r in rest)
+                break
+            u = int(pick[0]["id"])
+            group.append(u)
+            covered = alive.where(F.col("id") == u).select("sample")
+            alive = local_cut(
+                alive.join(covered, "sample", "left_anti")
+            )
+        sym.unpersist()
+        self._group = group
+
+    def group_max_betweenness(self) -> list[int]:
+        """``ApproxGroupBetweenness::groupMaxBetweenness``."""
+        self.assure_finished()
+        return self._group
