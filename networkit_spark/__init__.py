@@ -89,6 +89,7 @@ from networkit_spark.operators.flow import EdmondsKarp
 from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
 from networkit_spark.operators.dynkatz import DynKatzCentrality
+from networkit_spark.operators.dynbetweenness import DynApproxBetweenness
 
 __all__ = [
     "ApproxBetweenness",
@@ -113,6 +114,7 @@ __all__ = [
     "Diameter",
     "Dijkstra",
     "DynAPSP",
+    "DynApproxBetweenness",
     "DynBFS",
     "DynConnectedComponents",
     "DynKatzCentrality",
