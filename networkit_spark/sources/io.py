@@ -290,8 +290,27 @@ def read_gml(spark: SparkSession, path: str) -> Graph:
     return Graph(edges, directed=directed, weighted=False, vertices=vertices)
 
 
+# Hard ceiling for the driver-collecting fixture writers below. They
+# exist to exchange SMALL graphs with other tools (the reference's
+# single-threaded line writers have the same role); pointing one at an
+# engine-scale graph would OOM the driver, so fail fast instead.
+FIXTURE_WRITER_MAX_EDGES = 10_000_000
+
+
+def _guard_fixture_scale(graph: Graph, fmt: str) -> None:
+    m = graph.number_of_edges()
+    if m > FIXTURE_WRITER_MAX_EDGES:
+        raise ValueError(
+            f"{fmt} writer collects the graph to the driver and is for "
+            f"fixture interop only: {m} edges > "
+            f"{FIXTURE_WRITER_MAX_EDGES}. Persist engine-scale graphs "
+            "with Graph.persist_csr (parquet CSR) instead."
+        )
+
+
 def _adjacency_lists(graph: Graph) -> list[list[int]]:
     """Driver-side 0..n-1 adjacency (fixture-scale writers only)."""
+    _guard_fixture_scale(graph, "adjacency")
     n = graph.number_of_nodes()
     sym = graph.symmetrized() if not graph.directed else graph.edges
     adj: list[list[int]] = [[] for _ in range(n)]
@@ -317,6 +336,7 @@ def write_metis(graph: Graph, path: str) -> None:
 
 def write_snap(graph: Graph, path: str) -> None:
     """``SNAPGraphWriter``: ``p n m u u 0`` problem line + edge lines."""
+    _guard_fixture_scale(graph, "SNAP")
     n, m = graph.number_of_nodes(), graph.number_of_edges()
     with open(path, "w") as f:
         f.write(f"p {n} {m} u u 0\n")
@@ -327,6 +347,7 @@ def write_snap(graph: Graph, path: str) -> None:
 def write_dot(graph: Graph, path: str) -> None:
     """``DotGraphWriter``: ``graph { u -- v; }`` (undirected) or
     ``digraph { u -> v; }``."""
+    _guard_fixture_scale(graph, "Dot")
     kw, arrow = ("digraph", "->") if graph.directed else ("graph", "--")
     base = graph.edges if graph.directed else graph.canonical()
     with open(path, "w") as f:
@@ -338,6 +359,7 @@ def write_dot(graph: Graph, path: str) -> None:
 
 def write_gml(graph: Graph, path: str) -> None:
     """``GMLGraphWriter`` (``cpp/io/GMLGraphWriter.cpp:21-40``)."""
+    _guard_fixture_scale(graph, "GML")
     base = graph.edges if graph.directed else graph.canonical()
     with open(path, "w") as f:
         f.write("graph [\n")
@@ -404,6 +426,7 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
 def write_graphml(graph: Graph, path: str) -> None:
     """``GraphMLWriter`` (``networkit/GraphMLIO.py:93-140``): nodes as
     ``n{id}``, weight emitted via a ``d1`` key when weighted."""
+    _guard_fixture_scale(graph, "GraphML")
     base = graph.edges if graph.directed else graph.canonical()
     kind = "directed" if graph.directed else "undirected"
     with open(path, "w") as f:
@@ -480,6 +503,7 @@ def read_gexf(spark: SparkSession, path: str) -> Graph:
 
 def write_gexf(graph: Graph, path: str) -> None:
     """``GEXFWriter`` (``networkit/GEXFIO.py``) — minimal static graph."""
+    _guard_fixture_scale(graph, "GEXF")
     base = graph.edges if graph.directed else graph.canonical()
     kind = "directed" if graph.directed else "undirected"
     with open(path, "w") as f:
