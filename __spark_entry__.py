@@ -559,28 +559,10 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting over documents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        F.when(F.trim(F.col("text")) == "", 0)
-        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-        .alias("n_tokens"),
-    )
-
-
-def q_doc_tokens_sql() -> str:
-    return r"""
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-FROM documents
-"""
-
-
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: length, punctuation ratio, stopword hits."""
+def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged text-analysis family (one gated query, one scan): token
+    count, length, punctuation ratio, stopword hits per document — all
+    codegen column expressions, no UDF."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text = F.col("text")
     n = F.length(text)
@@ -588,33 +570,24 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\bthe\b")) - 1
     return docs.select(
         "doc_id",
+        F.when(F.trim(text) == "", 0)
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+        .alias("n_tokens"),
         n.alias("n_chars_computed"),
         F.round(punct.cast("double") / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
         the_hits.alias("the_count"),
     )
 
 
-def q_doc_quality_sql() -> str:
+def q_doc_textstats_sql() -> str:
     return r"""
 SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
        len(text) AS n_chars_computed,
        round(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
              / greatest(len(text), 1), 6) AS punct_ratio,
        len(regexp_split_to_array(' ' || text || ' ', '\bthe\b')) - 1 AS the_count
-FROM documents
-"""
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
-
-
-def q_doc_fingerprint_sql() -> str:
-    return r"""
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -2433,14 +2406,21 @@ WHERE round(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6) >= {_MH_
 """
 
 
-def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged signature family (one gated query): md5 fingerprint of
+    whitespace-normalized lowercase text for every document, plus the
+    32-bit SimHash for documents with non-empty text (NULL otherwise —
+    SimHash of an empty token stream is undefined)."""
     from networkit_spark.operators.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    sh = simhash(docs)
+    return fps.join(sh, "doc_id", "left").select("doc_id", "fingerprint", "simhash")
 
 
-def q_doc_simhash_sql() -> str:
+def q_doc_signatures_sql() -> str:
     sums = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
         for p in range(32)
@@ -2452,8 +2432,12 @@ WITH tokrow AS (
   FROM documents WHERE trim(text) <> ''
 ),
 th AS MATERIALIZED (SELECT doc_id, {_sql_hash32('tok', 'sh')} AS h FROM tokrow),
-agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
+SELECT d.doc_id,
+       md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fingerprint,
+       sh.simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 """
 
 
@@ -2531,15 +2515,51 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
 """
 
 
-def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH — the scale path.
-    No SQL oracle (hyperplane generation is engine-side); the driver
-    records a rows-only check and tests assert recall vs brute force."""
-    from networkit_spark.operators.similarity import topk_cosine_lsh
+def q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k, both scale paths side by side: random-
+    hyperplane LSH bucket-join and IVF (Lloyd-refined inverted lists,
+    nprobe nearest lists per query). No SQL oracle (hyperplane /
+    centroid generation is engine-side); the driver records a rows-only
+    check and tests assert recall vs brute force for each method."""
+    from networkit_spark.operators.similarity import topk_cosine_ivf, topk_cosine_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
-    return topk_cosine_lsh(emb, queries, k=5, planes=6, tables=6)
+    lsh = topk_cosine_lsh(emb, queries, k=5, planes=6, tables=6).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos", "rank"
+    )
+    ivf = topk_cosine_ivf(emb, queries, k=5, nlist=16, nprobe=6).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos", "rank"
+    )
+    return lsh.unionAll(ivf)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b)
+    — exact upper-triangle comparison, the oracle twin of the LSH
+    self-join scale path (``cosine_near_dup_lsh``, recall-tested in
+    pytest)."""
+    from networkit_spark.operators.similarity import cosine_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup(emb, threshold=0.4)
+
+
+def q_emb_near_dup_sql() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,24 +2884,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curveball": q_curveball,
         # -- LLM-pipeline operators (documents / embeddings / events)
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_tokens": q_doc_tokens,
-        "doc_quality": q_doc_quality,
-        "doc_fingerprint": q_doc_fingerprint,
+        "doc_textstats": q_doc_textstats,
+        "doc_signatures": q_doc_signatures,
         "doc_minhash_near_dup": q_doc_minhash_near_dup,
-        "doc_simhash": q_doc_simhash,
         "doc_lang_id": q_doc_lang_id,
         "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_ann": q_emb_ann,
         "multimodal_features": q_multimodal_features,
         "extract_text": q_extract_text,
         "link_pipeline_degree": q_link_pipeline_degree,
         "events_latest": q_events_latest,
-        # ---- past-window extras ----
-        # kpath is the one stochastic sampler with neither an oracle
-        # nor a stable rows-only value-add (seeded walks, pytest-gated
-        # in tests/test_kpath.py); component_sizes is fully redundant
-        # with components + graph_scalars.lcc_size and was retired from
-        # the registry (operator still exported and pytest-covered).
+        # kpath (seeded stochastic walk sampler, no DuckDB twin for
+        # xxhash64 — rows-only by design, pytest-gated in
+        # tests/test_kpath.py) sits last; after merging the textstats
+        # and signatures families the registry is exactly 50 entries,
+        # so EVERY query — kpath included — is inside the gate.
         "kpath": q_kpath,
     }
 
@@ -2921,14 +2939,13 @@ def oracle_sql() -> dict[str, str]:
         "katz_index": q_katz_index_sql(),
         "curveball": q_curveball_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
-        "doc_tokens": q_doc_tokens_sql(),
-        "doc_quality": q_doc_quality_sql(),
-        "doc_fingerprint": q_doc_fingerprint_sql(),
+        "doc_textstats": q_doc_textstats_sql(),
+        "doc_signatures": q_doc_signatures_sql(),
         "doc_minhash_near_dup": q_doc_minhash_near_dup_sql(),
-        "doc_simhash": q_doc_simhash_sql(),
         "doc_lang_id": q_doc_lang_id_sql(),
         "emb_topk_cosine": q_emb_topk_cosine_sql(),
-        # emb_ann_lsh: no SQL oracle (engine-side hyperplanes) — rows-only
+        "emb_near_dup": q_emb_near_dup_sql(),
+        # emb_ann: no SQL oracle (engine-side hyperplanes/centroids) — rows-only
         "multimodal_features": q_multimodal_features_sql(),
         "extract_text": q_extract_text_sql(),
         "link_pipeline_degree": q_link_pipeline_degree_sql(),

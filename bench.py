@@ -134,10 +134,12 @@ def main() -> None:
         "triangle_edge_score",
         "doc_exact_dedup",
         "doc_minhash_near_dup",
-        "doc_simhash",
+        "doc_signatures",
         "doc_lang_id",
-        "doc_tokens",
+        "doc_textstats",
         "emb_topk_cosine",
+        "emb_near_dup",
+        "emb_ann",
         "events_latest",
     ]
     qmap = entry_mod.queries()

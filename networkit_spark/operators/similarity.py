@@ -164,3 +164,210 @@ def topk_cosine_lsh(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
     )
+
+
+def cosine_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos)``
+    for every unordered pair with ``cos >= threshold`` (``id_a < id_b``).
+
+    This is the VERIFICATION path — an O(N²) upper-triangle comparison
+    (nested-loop join under the ``<`` condition) that is the DuckDB
+    oracle's twin. At corpus scale use :func:`cosine_near_dup_lsh`,
+    which generates candidates through a bucketed equi-join and calls
+    the same exact cosine only on collisions.
+
+    The threshold is applied to the ROUNDED (6 dp) cosine in both this
+    engine and the SQL oracle so float summation-order noise cannot
+    flip membership at the boundary.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("a_emb")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("b_emb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus×corpus near-duplicate pairs at scale: LSH-bucketed
+    candidate generation + exact cosine verification.
+
+    Unlike :func:`topk_cosine_lsh` (broadcast query set), BOTH sides
+    here are the full corpus, so candidates come from a self equi-join
+    on ``(table, bucket)`` — each bucket's pairs are generated inside
+    one hash partition, never a cross join across buckets. Collisions
+    across the ``tables`` independent tables are deduplicated before the
+    exact verify, and every surviving pair is exact-cosine checked, so
+    precision is 1.0; recall grows with ``tables`` (pytest measures it
+    against :func:`cosine_near_dup`).
+
+    Scale note: a degenerate bucket (all-near-identical embeddings,
+    e.g. zero-vector padding) would quadratic-blow one reducer; the
+    same count-before-pair cap strategy as MinHash LSH
+    (``dedup.py``) applies — keep ``planes`` high enough that expected
+    bucket size stays bounded (N / 2^planes per table).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
+    )
+    bucketed = []
+    for t in range(tables):
+        bucketed.append(
+            v.select(
+                "vid",
+                "emb",
+                F.lit(t).alias("t"),
+                lsh_bucket_col(F.col("emb"), t, planes, dim).alias("bucket"),
+            )
+        )
+    vb = bucketed[0]
+    for x in bucketed[1:]:
+        vb = vb.unionAll(x)
+    left = vb.select("t", "bucket", F.col("vid").alias("id_a"), F.col("emb").alias("a_emb"))
+    right = vb.select("t", "bucket", F.col("vid").alias("id_b"), F.col("emb").alias("b_emb"))
+    cand = (
+        left.join(right, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a_emb", "b_emb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def topk_cosine_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine — the
+    partition-then-probe scale path.
+
+    Index build (all DataFrame ops, no UDF):
+      1. ``nlist`` deterministic seed centroids — the corpus rows with
+         the smallest ``xxhash64(id)`` (a seeded uniform sample with no
+         RNG state, reproducible across runs/partitionings).
+      2. ``lloyd_rounds`` of Lloyd refinement: assign every vector to
+         its nearest centroid by cosine (broadcast centroids — nlist is
+         small by construction), then recompute each centroid as the
+         element-wise mean via ``posexplode`` + ``groupBy(cid, pos)`` —
+         one narrow shuffle per round keyed on (centroid, dimension).
+      3. Final assignment = the inverted lists, hash-partitioned by
+         centroid id.
+
+    Probe: each query scores the centroids (broadcast), keeps its
+    ``nprobe`` nearest lists, joins candidates on ``cid`` (equi-join,
+    never a cross join against the corpus), exact cosine re-rank, top-k
+    per query. Recall grows with ``nprobe``/``nlist`` ratio; pytest
+    measures it against :func:`topk_cosine`.
+    """
+    c = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("emb")
+    )
+    centroids = (
+        c.orderBy(F.xxhash64(F.col("nid")), F.col("nid"))
+        .limit(nlist)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64(F.col("nid")), F.col("nid")))
+            .alias("cid"),
+            F.col("emb").alias("c_emb"),
+        )
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        scored = c.crossJoin(F.broadcast(cent)).select(
+            "nid",
+            "emb",
+            "cid",
+            cosine_col(F.col("emb"), F.col("c_emb")).alias("sim"),
+        )
+        w = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("nid", "emb", "cid")
+        )
+
+    cent = centroids
+    for _ in range(lloyd_rounds):
+        assigned = _assign(cent)
+        cent = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean")))
+                ).alias("pm")
+            )
+            .select("cid", F.transform(F.col("pm"), lambda s: s["mean"]).alias("c_emb"))
+        )
+    lists = _assign(cent)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "cid",
+            cosine_col(F.col("q_emb"), F.col("c_emb")).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "cid")
+    )
+    cand = (
+        lists.join(F.broadcast(probed), "cid")
+        .where(F.col("nid") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("nid").alias("neighbor_id"), "emb")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )

@@ -150,3 +150,52 @@ def test_frame_sample(docs):
     assert len(frames) == 5
     assert sorted(f["frame_no"] for f in frames) == [0, 1, 2, 3, 4]
     assert len(bytes(frames[0]["frame_bytes"])) == 16
+
+
+def test_cosine_near_dup_exact(vectors):
+    from networkit_spark.operators.similarity import cosine_near_dup
+
+    pairs = cosine_near_dup(vectors, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # 4 copies of each of 16 directions → C(4,2)=6 identical pairs per angle
+    assert len(got) == 16 * 6
+    assert (0, 16) in got and (0, 32) in got and (16, 48) in got
+    assert all(r["cos"] == 1.0 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_cosine_near_dup_lsh_recall(vectors):
+    from networkit_spark.operators.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup(vectors, threshold=0.999).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_lsh(
+            vectors, threshold=0.999, planes=4, tables=8, dim=8
+        ).collect()
+    }
+    # identical-direction vectors collide in every table → full recall,
+    # and exact verification makes precision 1.0 by construction
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) == 1.0
+
+
+def test_topk_cosine_ivf_recall(vectors):
+    from networkit_spark.operators.similarity import topk_cosine, topk_cosine_ivf
+
+    q = vectors.where(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in topk_cosine(vectors, q, k=3).collect()}
+    approx = topk_cosine_ivf(vectors, q, k=3, nlist=8, nprobe=4, lloyd_rounds=2).collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(a & exact) / len(exact) >= 0.5
+    # ranks are dense 1..k per query
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
