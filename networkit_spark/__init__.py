@@ -35,7 +35,7 @@ from networkit_spark.operators.components import (
     ConnectedComponents,
     WeaklyConnectedComponents,
 )
-from networkit_spark.operators.plp import PLP
+from networkit_spark.operators.plp import PLP, LPDegreeOrdered
 from networkit_spark.operators.triangles import (
     LocalClusteringCoefficient,
     TriangleEdgeScore,
@@ -144,6 +144,7 @@ __all__ = [
     "ConnectedComponents",
     "WeaklyConnectedComponents",
     "PLP",
+    "LPDegreeOrdered",
     "LocalClusteringCoefficient",
     "TriangleEdgeScore",
     "GlobalClusteringCoefficient",

@@ -163,3 +163,172 @@ class PLP(Algorithm):
         """Per-iteration wall seconds (``PLP::getTiming``)."""
         self.assure_finished()
         return self._timing
+
+
+class LPDegreeOrdered(Algorithm):
+    """Degree-ordered label propagation (``cpp/community/LPDegreeOrdered.cpp:18-88``).
+
+    The reference visits nodes one at a time in increasing-degree order,
+    asynchronously: each node adopts the *most frequent* neighbor label
+    (unweighted counts, ``LPDegreeOrdered.cpp:37-48``), updates are
+    immediately visible to later nodes, and a sweep repeats while more
+    than ``theta = n/1e5`` nodes changed (``LPDegreeOrdered.cpp:77-84``).
+    Its tie-break is the first maximum in ``unordered_map`` iteration
+    order — nondeterministic even single-threaded.
+
+    Distributed formulation (documented divergence, same spirit as PLP's
+    sync-vs-async note): nodes are bucketed into ``batches`` contiguous
+    degree ranks; one sweep processes the batches in increasing-degree
+    order, synchronously *within* a batch and sequentially *across*
+    batches, so low-degree nodes still commit their labels before
+    high-degree nodes read them — the property the degree ordering
+    exists for. Ties break toward the smallest label (deterministic;
+    the reference makes no promise here at all). Isolated nodes never
+    update (``degree(v) > 0`` guard in the reference).
+
+    Plan per batch step: filter the persisted symmetrized edge table to
+    rows whose dst falls in the batch (one scan, pruned by the
+    precomputed ``dst_batch`` column), join current labels on src
+    (shuffle-hash), unweighted label histogram via groupBy partial
+    aggregation, lexicographic-min pick — identical shuffle shape to
+    PLP, ``batches``× rounds per sweep.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        batches: int = 4,
+        update_threshold: int | None = None,
+        max_sweeps: int | None = 50,
+    ) -> None:
+        super().__init__(graph)
+        if batches < 1:
+            raise ValueError("batches must be >= 1")
+        self.batches = batches
+        self.update_threshold = update_threshold
+        self.max_sweeps = max_sweeps
+        self._labels: DataFrame | None = None
+        self._sweeps = 0
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        n = g.number_of_nodes()
+        theta = (
+            self.update_threshold
+            if self.update_threshold is not None
+            else max(int(n / 1e5), 0)
+        )
+        b_count = self.batches
+        sym = g.symmetrized().select("src", "dst")
+        deg = sym.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        # increasing-degree batch rank; id tie-break keeps it deterministic
+        verts = g.vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        # degree-quantile batch boundaries (a global ntile window would
+        # sort all V rows through one partition; a percentile sketch +
+        # range assignment is one aggregate and stays distributed)
+        if b_count == 1:
+            batched = verts.select("id", "deg", F.lit(1).alias("batch"))
+        else:
+            qs = [i / b_count for i in range(1, b_count)]
+            bounds = verts.select(
+                F.percentile_approx("deg", qs, 10_000).alias("b")
+            ).collect()[0]["b"]
+            expr = F.lit(b_count)
+            for i in range(b_count - 2, -1, -1):
+                expr = F.when(F.col("deg") <= bounds[i], F.lit(i + 1)).otherwise(expr)
+            batched = verts.select("id", "deg", expr.alias("batch"))
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # messages: unit weight per neighbor + a zero-weight self row that
+        # carries the node's own label (single-reference rule, as PLP)
+        msgs = sym.select("src", "dst", F.lit(1.0).alias("w")).unionAll(
+            g.vertices.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(0.0).alias("w")
+            )
+        )
+        dst_batch = batched.select(
+            F.col("id").alias("dst"), F.col("batch").alias("dst_batch")
+        )
+        msgs = (
+            msgs.join(dst_batch.hint("shuffle_hash"), "dst")
+            .repartition(shuffle_parts, "src")
+            .persist()
+        )
+        msgs.count()
+
+        labels = batched.select("id", "batch", F.col("id").alias("label"))
+        labels = labels.transform(local_cut)
+
+        sweeps = 0
+        while self.max_sweeps is None or sweeps < self.max_sweeps:
+            sweeps += 1
+            updated = 0
+            for b in range(1, b_count + 1):
+                hist = (
+                    msgs.where(F.col("dst_batch") == b)
+                    .join(
+                        labels.select("id", "label").hint("shuffle_hash"),
+                        msgs.src == F.col("id"),
+                    )
+                    .groupBy("dst", "label")
+                    .agg(
+                        F.sum("w").alias("cnt"),
+                        F.max(
+                            F.when(F.col("src") == F.col("dst"), 1).otherwise(0)
+                        ).alias("own"),
+                    )
+                )
+                cand = (
+                    hist.groupBy("dst")
+                    .agg(
+                        # zero-count groups (self row only / isolated or
+                        # all-own-label) can never beat a positive count,
+                        # and the deg>0 guard below keeps isolated nodes out
+                        F.min(
+                            F.when(
+                                F.col("cnt") > 0,
+                                F.struct(
+                                    (-F.col("cnt")).alias("nc"),
+                                    F.col("label").alias("lbl"),
+                                ),
+                            )
+                        ).alias("pick"),
+                        F.max(F.when(F.col("own") == 1, F.col("label"))).alias(
+                            "old_label"
+                        ),
+                    )
+                    .select(
+                        F.col("dst").alias("id"),
+                        F.coalesce(F.col("pick.lbl"), F.col("old_label")).alias(
+                            "label"
+                        ),
+                        (
+                            F.coalesce(F.col("pick.lbl"), F.col("old_label"))
+                            != F.col("old_label")
+                        ).alias("changed"),
+                    )
+                )
+                cand = cand.transform(local_cut)
+                updated += cand.where(F.col("changed")).count()
+                # batch-b rows are fully replaced by cand (the self row
+                # guarantees every batch member appears); others pass through
+                labels = labels.where(F.col("batch") != b).unionByName(
+                    cand.select("id", F.lit(b).alias("batch"), "label")
+                )
+                labels = labels.transform(local_cut)
+            if updated <= theta:
+                break
+        self._sweeps = sweeps
+        self._labels = labels.select("id", "label")
+        msgs.unpersist()
+
+    def get_partition(self) -> DataFrame:
+        self.assure_finished()
+        return self._labels
+
+    def number_of_iterations(self) -> int:
+        """``LPDegreeOrdered::numberOfIterations`` — sweeps over all batches."""
+        self.assure_finished()
+        return self._sweeps

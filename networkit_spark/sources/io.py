@@ -586,3 +586,166 @@ def read_dgs(spark: SparkSession, path: str, mapped: bool = True,
         [(i,) + r for i, r in enumerate(rows)],
         "seq long, etype string, u long, v long, w double",
     )
+
+
+# ------------------------------------------------- binary interop formats
+# graph-tool "gt" and Thrill adjacency binaries. Like the other fixture
+# writers these parse/emit on the driver (binary interop with external
+# single-node tools is inherently fixture-scale); both writers run
+# through _guard_fixture_scale.
+
+_GT_MAGIC = bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])
+
+
+def _gt_width(n: int) -> int:
+    """Adjacency id byte-width by node count
+    (``GraphToolBinaryReader.cpp:87-97``): 1/2/4/8 as n crosses 2^8/16/32."""
+    if n < 1 << 8:
+        return 1
+    if n < 1 << 16:
+        return 2
+    if n < 1 << 32:
+        return 4
+    return 8
+
+
+def read_graphtool_binary(spark: SparkSession, path: str) -> Graph:
+    """``GraphToolBinaryReader`` (``cpp/io/GraphToolBinaryReader.cpp:15-135``):
+    6-byte magic + version 0x01 + endianness byte, uint64-length comment,
+    directed byte, uint64 n, then per node a uint64 out-degree and that
+    many ids of width ``_gt_width(n)``. Undirected files store each edge
+    once in the higher endpoint's list (writer invariant), so edges are
+    added exactly as listed."""
+    with open(path, "rb") as f:
+        header = f.read(8)
+        if len(header) < 8 or header[:6] != _GT_MAGIC or header[6] != 0x01:
+            raise ValueError("gt header is broken")
+        if header[7] not in (0x00, 0x01):
+            raise ValueError("gt endianness byte is broken")
+        bo = "little" if header[7] == 0x00 else "big"
+        comment_len = int.from_bytes(f.read(8), bo)
+        f.read(comment_len)
+        directed = f.read(1) != b"\x00"
+        n = int.from_bytes(f.read(8), bo)
+        width = _gt_width(n)
+        rows = []
+        for u in range(n):
+            deg = int.from_bytes(f.read(8), bo)
+            buf = f.read(deg * width)
+            for i in range(deg):
+                v = int.from_bytes(buf[i * width : (i + 1) * width], bo)
+                rows.append((u, v, 1.0))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.range(n).select(F.col("id"))
+    return Graph(edges, directed=directed, weighted=False, vertices=vertices)
+
+
+def write_graphtool_binary(
+    graph: Graph, path: str, little_endian: bool = True
+) -> None:
+    """``GraphToolBinaryWriter`` (``cpp/io/GraphToolBinaryWriter.cpp:18-112``):
+    empty comment; undirected graphs store each edge once, in the list of
+    the larger endpoint (``v <= u`` filter)."""
+    _guard_fixture_scale(graph, "gt")
+    bo = "little" if little_endian else "big"
+    n = graph.number_of_nodes()
+    width = _gt_width(n)
+    if graph.directed:
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for r in graph.edges.select("src", "dst").collect():
+            adj[r["src"]].append(r["dst"])
+        for lst in adj:
+            lst.sort()
+    else:
+        adj = [[] for _ in range(n)]
+        for r in graph.canonical().select("src", "dst").collect():
+            u, v = r["src"], r["dst"]
+            lo, hi = (u, v) if u <= v else (v, u)
+            adj[hi].append(lo)  # v <= u invariant
+        for lst in adj:
+            lst.sort()
+    with open(path, "wb") as f:
+        f.write(_GT_MAGIC + bytes([0x01, 0x00 if little_endian else 0x01]))
+        f.write((0).to_bytes(8, bo))  # empty comment
+        f.write(b"\x01" if graph.directed else b"\x00")
+        f.write(n.to_bytes(8, bo))
+        for u in range(n):
+            f.write(len(adj[u]).to_bytes(8, bo))
+            for v in adj[u]:
+                f.write(v.to_bytes(width, bo))
+
+
+def _thrill_varint(value: int) -> bytes:
+    """LEB128-ish variable-length encoding
+    (``ThrillGraphBinaryWriter.cpp:35-44``): 7 data bits per byte,
+    high bit = continuation; degree 0 is a single 0x00 byte."""
+    if value == 0:
+        return b"\x00"
+    out = bytearray()
+    while value:
+        b = value & 0x7F
+        value >>= 7
+        out.append(b | (0x80 if value else 0))
+    return bytes(out)
+
+
+def read_thrill_binary(
+    spark: SparkSession, paths: str | list[str], n: int | None = None
+) -> Graph:
+    """``ThrillGraphBinaryReader`` (``cpp/io/ThrillGraphBinaryReader.cpp:25-110``):
+    a concatenated stream (optionally split across files) of per-node
+    records — varint degree then degree little-endian uint32 neighbor
+    ids; undirected half-edges stored with ``u <= v``. Node count grows
+    with the stream; a neighbor id past the last record extends it
+    (``max_id`` handling in the reference)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    data = b"".join(open(p, "rb").read() for p in paths)
+    pos, u, max_id, rows = 0, 0, -1, []
+    size = len(data)
+    while pos < size:
+        # varint degree
+        deg, shift = 0, 0
+        while True:
+            byte = data[pos]
+            pos += 1
+            if shift == 63 and (byte & 0xFE):
+                raise OverflowError("varint64 overflow in thrill stream")
+            deg |= (byte & 0x7F) << shift
+            if not (byte & 0x80):
+                break
+            shift += 7
+        for _ in range(deg):
+            v = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            max_id = max(max_id, v)
+            rows.append((u, v, 1.0))
+        u += 1
+    total = max(u, max_id + 1, n or 0)
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.range(total).select(F.col("id"))
+    return Graph(edges, directed=False, weighted=False, vertices=vertices)
+
+
+def write_thrill_binary(graph: Graph, path: str) -> None:
+    """``ThrillGraphBinaryWriter`` (``cpp/io/ThrillGraphBinaryWriter.cpp:13-57``):
+    per node the varint degree then the ``u <= v`` neighbors as
+    little-endian uint32; rejects graphs past the uint32 id bound."""
+    _guard_fixture_scale(graph, "thrill")
+    n = graph.number_of_nodes()
+    if n > (1 << 32) - 1:
+        raise ValueError(
+            "Thrill binary graphs only support graphs with up to 2^32-1 nodes."
+        )
+    adj: list[list[int]] = [[] for _ in range(n)]
+    base = graph.edges if graph.directed else graph.canonical()
+    for r in base.select("src", "dst").collect():
+        u, v = r["src"], r["dst"]
+        lo, hi = (u, v) if u <= v else (v, u)
+        adj[lo].append(hi)  # u <= v invariant
+    with open(path, "wb") as f:
+        for u in range(n):
+            adj[u].sort()
+            f.write(_thrill_varint(len(adj[u])))
+            for v in adj[u]:
+                f.write(v.to_bytes(4, "little"))

@@ -257,3 +257,134 @@ def test_read_dgs_events(spark, tmp_path):
     bad.write_text("DGS000\n")
     with pytest.raises(ValueError):
         read_dgs(spark, str(bad))
+
+
+def _edge_set(g):
+    return {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+
+
+def test_graphtool_binary_roundtrip_undirected(spark, tmp_path):
+    from networkit_spark.sources.io import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 1.0)],
+            "src long, dst long, weight double",
+        ),
+        directed=False,
+        weighted=False,
+    )
+    p = str(tmp_path / "g.gt")
+    write_graphtool_binary(g, p)
+    g2 = read_graphtool_binary(spark, p)
+    assert not g2.directed
+    assert g2.number_of_nodes() == 4
+    assert g2.number_of_edges() == 4
+    # undirected gt stores each edge once with v <= u
+    assert _edge_set(g2) == {(1, 0), (2, 1), (3, 2), (3, 0)}
+
+
+def test_graphtool_binary_roundtrip_directed_wide(spark, tmp_path):
+    from networkit_spark.sources.io import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    # n = 300 forces the 2-byte adjacency width branch
+    rows = [(i, (i * 7 + 1) % 300, 1.0) for i in range(300)]
+    g = Graph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=True,
+        weighted=False,
+    )
+    p = str(tmp_path / "wide.gt")
+    write_graphtool_binary(g, p)
+    g2 = read_graphtool_binary(spark, p)
+    assert g2.directed
+    assert g2.number_of_nodes() == 300
+    assert _edge_set(g2) == {(i, (i * 7 + 1) % 300) for i in range(300)}
+
+
+def test_graphtool_binary_big_endian(spark, tmp_path):
+    from networkit_spark.sources.io import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    g = Graph(
+        spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double"),
+        directed=True,
+        weighted=False,
+    )
+    p = str(tmp_path / "be.gt")
+    write_graphtool_binary(g, p, little_endian=False)
+    g2 = read_graphtool_binary(spark, p)
+    assert _edge_set(g2) == {(0, 1)}
+
+
+def test_graphtool_binary_broken_header(spark, tmp_path):
+    from networkit_spark.sources.io import read_graphtool_binary
+
+    p = str(tmp_path / "bad.gt")
+    with open(p, "wb") as f:
+        f.write(b"notagtfile")
+    with pytest.raises(ValueError):
+        read_graphtool_binary(spark, p)
+
+
+def test_thrill_binary_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_thrill_binary, write_thrill_binary
+
+    # includes an isolated node (1) → varint degree 0 record
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 2, 1.0), (2, 3, 1.0), (0, 3, 1.0)],
+            "src long, dst long, weight double",
+        ),
+        directed=False,
+        weighted=False,
+        vertices=spark.range(4).select(F.col("id")),
+    )
+    p = str(tmp_path / "g.thrill")
+    write_thrill_binary(g, p)
+    g2 = read_thrill_binary(spark, p)
+    assert not g2.directed
+    assert g2.number_of_nodes() == 4
+    # half-edges stored with u <= v
+    assert _edge_set(g2) == {(0, 2), (0, 3), (2, 3)}
+
+
+def test_thrill_binary_split_files(spark, tmp_path):
+    from networkit_spark.sources.io import read_thrill_binary, write_thrill_binary
+
+    g = Graph(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+        ),
+        directed=False,
+        weighted=False,
+    )
+    whole = str(tmp_path / "whole.thrill")
+    write_thrill_binary(g, whole)
+    blob = open(whole, "rb").read()
+    # split mid-stream across two files; the reader concatenates
+    p1, p2 = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    open(p1, "wb").write(blob[:5])
+    open(p2, "wb").write(blob[5:])
+    g2 = read_thrill_binary(spark, [p1, p2])
+    assert _edge_set(g2) == {(0, 1), (1, 2)}
+    # varint large-degree path: node 0 with 200 neighbors (2-byte varint)
+    rows = [(0, v, 1.0) for v in range(1, 201)]
+    g3 = Graph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=False,
+        weighted=False,
+    )
+    p3 = str(tmp_path / "hub.thrill")
+    write_thrill_binary(g3, p3)
+    g4 = read_thrill_binary(spark, p3)
+    assert g4.number_of_edges() == 200
+    assert g4.number_of_nodes() == 201

@@ -64,3 +64,42 @@ def test_plp_base_clustering(spark):
     plp = PLP(g, base_clustering=base).run()
     # starting from the planted clustering it is already stable
     assert plp.get_partition().select("label").distinct().count() == 3
+
+
+def test_lpdo_planted_partition_recovery(spark):
+    from networkit_spark import LPDegreeOrdered
+
+    g, truth = clustered_random(spark, 100, 3, 1.0, 0.0, seed=42)
+    lpdo = LPDegreeOrdered(g, batches=3).run()
+    labels = lpdo.get_partition()
+    assert labels.select("label").distinct().count() == 3
+    pairs = (
+        labels.join(truth.withColumnRenamed("label", "truth"), "id")
+        .select("label", "truth")
+        .distinct()
+    )
+    assert pairs.count() == 3
+    assert lpdo.number_of_iterations() >= 1
+
+
+def test_lpdo_isolated_nodes_stay_singletons(spark):
+    from networkit_spark import Graph, LPDegreeOrdered
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2)], num_nodes=5)
+    lab = {
+        r["id"]: r["label"]
+        for r in LPDegreeOrdered(g, batches=2).run().get_partition().collect()
+    }
+    # degree(v) > 0 guard (LPDegreeOrdered.cpp:36): isolated stay singleton
+    assert lab[3] == 3 and lab[4] == 4
+    assert len(lab) == 5
+
+
+def test_lpdo_deterministic_and_proper(spark):
+    from networkit_spark import LPDegreeOrdered
+
+    g = erdos_renyi(spark, 80, 0.1, seed=9)
+    l1 = sorted(map(tuple, LPDegreeOrdered(g).run().get_partition().collect()))
+    l2 = sorted(map(tuple, LPDegreeOrdered(g).run().get_partition().collect()))
+    assert l1 == l2
+    assert len(l1) == 80  # every node labeled exactly once
