@@ -1349,20 +1349,108 @@ SELECT d AS degree, count(*) AS n_nodes FROM dg GROUP BY d
 """
 
 
+_NIBBLE_ROUNDS = 48  # measured drain at sf0.01 is 22 rounds (seeds 0-2,
+# α=0.1, ε=1e-5); rounds past drain are identity (empty active set), so
+# the 2× margin is pure safety — the kcore-round-count lesson applied.
+
+
 def q_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRankNibble seed-set expansion (3 seeds, α=0.1, ε=1e-3) on
-    the 256-node graph — rows+schema gate (the batch ACL push is
-    deterministic but its round count is data-dependent and each round
-    is a full state rewrite, far past practical SQL unrolling; the
+    """PageRankNibble seed-set expansion (3 seeds, α=0.1, ε=1e-5) on
+    the 256-node graph. The batch ACL push is deterministic (every
+    active node of every seed pushes each round), so the oracle unrolls
+    ``_NIBBLE_ROUNDS`` push rounds plus the full sweep-cut in SQL; the
     ε-invariant, mass conservation, and planted-community recovery are
-    pytest-gated in tests/test_scd.py)."""
+    additionally pytest-gated in tests/test_scd.py."""
     from networkit_spark.operators.scd import PageRankNibble
 
     g = undirected_graph(spark, sf_dir, 256)
     nib = PageRankNibble(
-        g, seeds=[0, 1, 2], alpha=0.1, epsilon=1e-3
+        g, seeds=[0, 1, 2], alpha=0.1, epsilon=1e-5
     ).run()
     return nib.get_communities().select("seed", "id")
+
+
+def q_pagerank_nibble_sql() -> str:
+    rounds = []
+    for k in range(1, _NIBBLE_ROUNDS + 1):
+        p, c = f"st{k - 1}", f"st{k}"
+        rounds.append(
+            f"""act{k} AS (SELECT * FROM {p} WHERE r >= 1e-05 * v AND v > 0),
+mass{k} AS (
+  SELECT a.seed, s.dst AS id, sum(0.9 * a.r * s.weight / (2.0 * a.v)) AS dr
+  FROM act{k} a JOIN sym s ON s.src = a.id GROUP BY 1, 2
+),
+upd{k} AS (
+  SELECT seed, id,
+         CASE WHEN r >= 1e-05 * v AND v > 0 THEN p + 0.1 * r ELSE p END AS p,
+         CASE WHEN r >= 1e-05 * v AND v > 0 THEN 0.9 * r / 2.0 ELSE r END AS r,
+         v
+  FROM {p}
+),
+{c} AS MATERIALIZED (
+  SELECT coalesce(u.seed, m.seed) AS seed, coalesce(u.id, m.id) AS id,
+         coalesce(u.p, 0.0) AS p,
+         coalesce(u.r, 0.0) + coalesce(m.dr, 0.0) AS r,
+         coalesce(u.v, vl.vol, 0.0) AS v
+  FROM upd{k} u
+  FULL OUTER JOIN mass{k} m ON u.seed = m.seed AND u.id = m.id
+  LEFT JOIN vol vl ON coalesce(u.id, m.id) = vl.id
+)"""
+        )
+    last = f"st{_NIBBLE_ROUNDS}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH {_sql_undirected(256)},
+vol AS MATERIALIZED (SELECT src AS id, sum(weight) AS vol FROM sym GROUP BY src),
+st0 AS MATERIALIZED (
+  SELECT s.seed, s.seed AS id, 0.0 AS p, 1.0 AS r,
+         coalesce(vl.vol, 0.0) AS v
+  FROM (SELECT unnest([0, 1, 2]) AS seed) s
+  LEFT JOIN vol vl ON vl.id = s.seed
+),
+{body},
+support AS (
+  SELECT seed, id, v,
+         CASE WHEN v > 0 THEN p / v ELSE 'NaN'::DOUBLE END AS score
+  FROM {last}
+),
+ranked AS MATERIALIZED (
+  SELECT seed, id, v,
+         row_number() OVER (PARTITION BY seed ORDER BY score DESC, id ASC) AS rk
+  FROM support
+),
+deltas AS (
+  SELECT r1.seed, r1.rk,
+         sum(CASE WHEN r2.rk IS NOT NULL AND r2.rk < r1.rk
+                  THEN -s.weight ELSE s.weight END) AS d
+  FROM sym s
+  JOIN ranked r1 ON r1.id = s.src
+  LEFT JOIN ranked r2 ON r2.seed = r1.seed AND r2.id = s.dst
+  GROUP BY 1, 2
+),
+sweep AS (
+  SELECT r.seed, r.id, r.rk,
+         sum(coalesce(d.d, 0.0)) OVER (PARTITION BY r.seed ORDER BY r.rk) AS cut,
+         sum(r.v) OVER (PARTITION BY r.seed ORDER BY r.rk) AS volp
+  FROM ranked r LEFT JOIN deltas d ON d.seed = r.seed AND d.rk = r.rk
+),
+swept AS (
+  SELECT seed, rk,
+         CASE WHEN least(volp, (SELECT sum(vol) FROM vol) - volp) > 0
+              THEN cut / least(volp, (SELECT sum(vol) FROM vol) - volp)
+              ELSE 'NaN'::DOUBLE END AS cond
+  FROM sweep WHERE rk < (SELECT count(*) FROM nodes)
+),
+best AS (
+  SELECT seed, rk AS best_rk FROM (
+    SELECT seed, rk,
+           row_number() OVER (PARTITION BY seed ORDER BY cond ASC, rk ASC) AS rn
+    FROM swept WHERE NOT isnan(cond)
+  ) WHERE rn = 1
+)
+SELECT r.seed, r.id
+FROM ranked r JOIN best b ON r.seed = b.seed AND r.rk <= b.best_rk
+"""
 
 
 _KATZ_IDX_L = 4
@@ -1488,17 +1576,47 @@ SELECT src, dst, round(w, 6) AS weight FROM ({unions})
 
 def q_maximal_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaximalCliques (join-based k-clique expansion + drop-one
-    maximality) on the thin graph — one row per maximal clique with its
-    size. Golden-gated: pytest compares the full clique set against
-    in-test brute-force enumeration (tests/test_matching_cliques.py);
-    driver row is rows+schema."""
+    maximality) on the thin graph — one row per maximal clique
+    (ascending members, comma-joined so the value hash is
+    representation-stable) with its size. Oracle: id-ordered recursive
+    enumeration in DuckDB carrying the common-neighborhood, maximal ⇔
+    no common neighbor remains; additionally golden-gated against
+    in-test brute force (tests/test_matching_cliques.py)."""
     from networkit_spark.operators.cliques import MaximalCliques
 
     g = _thin_undirected_graph(spark, sf_dir)
     mc = MaximalCliques(g).run()
     return mc.get_cliques().select(
-        F.array_sort("c").alias("members"), F.size("c").alias("k")
+        F.array_join(
+            F.transform(F.array_sort("c"), lambda x: x.cast("string")), ","
+        ).alias("members"),
+        F.size("c").alias("k"),
     )
+
+
+def q_maximal_cliques_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_THIN_UNDIRECTED},
+nl AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS ns FROM e GROUP BY src),
+cliq AS (
+  -- members strictly ascending ⇒ every clique is generated exactly once;
+  -- ext = common neighbors of all members (any id), cand = ext ∩ (> last)
+  SELECT [n.id] AS members,
+         coalesce(nl.ns, CAST([] AS BIGINT[])) AS ext,
+         list_filter(coalesce(nl.ns, CAST([] AS BIGINT[])), x -> x > n.id) AS cand
+  FROM nodes n LEFT JOIN nl ON nl.src = n.id
+  UNION ALL
+  SELECT list_append(s.members, s.x) AS members,
+         list_intersect(s.ext, nlx.ns) AS ext,
+         list_filter(list_intersect(s.cand, nlx.ns), y -> y > s.x) AS cand
+  FROM (
+    SELECT c.members, c.ext, c.cand, unnest(c.cand) AS x FROM cliq c
+  ) s JOIN nl nlx ON nlx.src = s.x
+)
+SELECT array_to_string(list_sort(members), ',') AS members,
+       len(members) AS k
+FROM cliq WHERE len(ext) = 0
+"""
 
 
 def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2937,6 +3055,8 @@ def oracle_sql() -> dict[str, str]:
         "katz": q_katz_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
+        "pagerank_nibble": q_pagerank_nibble_sql(),
+        "maximal_cliques": q_maximal_cliques_sql(),
         "curveball": q_curveball_sql(),
         "doc_exact_dedup": q_doc_exact_dedup_sql(),
         "doc_textstats": q_doc_textstats_sql(),
