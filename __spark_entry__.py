@@ -560,15 +560,18 @@ FROM documents GROUP BY md5(text)
 
 
 def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged text-analysis family (one gated query, one scan): token
-    count, length, punctuation ratio, stopword hits per document — all
-    codegen column expressions, no UDF."""
+    """Merged text-analysis family (one gated query, one document scan):
+    token count, length, punctuation ratio, stopword hits, plus n-gram
+    language id (pred_lang, lang score) per document — all codegen
+    column expressions, no UDF."""
+    from networkit_spark.operators.textstats import language_id
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text = F.col("text")
     n = F.length(text)
     punct = n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
     the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\bthe\b")) - 1
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         F.when(F.trim(text) == "", 0)
         .otherwise(F.size(F.split(F.trim(text), r"\s+")))
@@ -577,18 +580,26 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct.cast("double") / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
         the_hits.alias("the_count"),
     )
+    lang = language_id(docs).select(
+        "doc_id", "pred_lang", F.col("score").alias("lang_score")
+    )
+    return stats.join(lang, "doc_id")
 
 
 def q_doc_textstats_sql() -> str:
-    return r"""
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-       len(text) AS n_chars_computed,
-       round(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-             / greatest(len(text), 1), 6) AS punct_ratio,
-       len(regexp_split_to_array(' ' || text || ' ', '\bthe\b')) - 1 AS the_count
-FROM documents
+    lang_sql = q_doc_lang_id_sql()
+    return rf"""
+WITH lang AS ({lang_sql})
+SELECT d.doc_id,
+       CASE WHEN trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+       len(d.text) AS n_chars_computed,
+       round(CAST(len(d.text) - len(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / greatest(len(d.text), 1), 6) AS punct_ratio,
+       len(regexp_split_to_array(' ' || d.text || ' ', '\bthe\b')) - 1 AS the_count,
+       lang.pred_lang,
+       lang.score AS lang_score
+FROM documents d JOIN lang ON lang.doc_id = d.doc_id
 """
 
 
@@ -2559,14 +2570,9 @@ FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 """
 
 
-def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from networkit_spark.operators.textstats import language_id
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return language_id(docs)
-
-
 def q_doc_lang_id_sql() -> str:
+    # consumed by q_doc_textstats_sql (lang-id merged into the textstats
+    # family); kept standalone so the marker-count SQL stays readable
     from networkit_spark.operators.textstats import LANG_MARKERS
 
     def count_sql(w: str) -> str:
@@ -2633,23 +2639,77 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
 """
 
 
-def q_emb_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k, both scale paths side by side: random-
-    hyperplane LSH bucket-join and IVF (Lloyd-refined inverted lists,
-    nprobe nearest lists per query). No SQL oracle (hyperplane /
-    centroid generation is engine-side); the driver records a rows-only
-    check and tests assert recall vs brute force for each method."""
-    from networkit_spark.operators.similarity import topk_cosine_ivf, topk_cosine_lsh
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucket-join — FULLY
+    oracle-gated: the hyperplanes are pure md5 functions of
+    (table, plane, dim), which DuckDB reproduces bit-for-bit
+    (hex-parsed md5 → [-1,1]), so the oracle rebuilds the buckets, the
+    candidate equi-join, and the exact re-rank."""
+    from networkit_spark.operators.similarity import topk_cosine_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
-    lsh = topk_cosine_lsh(emb, queries, k=5, planes=6, tables=6).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos", "rank"
-    )
-    ivf = topk_cosine_ivf(emb, queries, k=5, nlist=16, nprobe=6).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos", "rank"
-    )
-    return lsh.unionAll(ivf)
+    return topk_cosine_lsh(emb, queries, k=5, planes=6, tables=6)
+
+
+def q_emb_ann_lsh_sql() -> str:
+    # mirror of operators/similarity.py:_hyperplane — component =
+    # 2 * (int(md5(f"lsh:{t}:{p}:{d}")[:8], 16) / 2^32) - 1
+    return """
+WITH hpv AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         2.0 * (CAST(('0x' || substr(
+             md5('lsh:' || t.range || ':' || p.range || ':' || d.range),
+             1, 8)) AS BIGINT) / 4294967296.0) - 1.0 AS val
+  FROM range(6) t, range(6) p, range(64) d
+),
+hp AS MATERIALIZED (
+  SELECT t, p, list(val ORDER BY d) AS hp FROM hpv GROUP BY t, p
+),
+e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+buckets AS MATERIALIZED (
+  SELECT e.vec_id, hp.t,
+         sum(CASE WHEN list_dot_product(e.emb, hp.hp) >= 0
+                  THEN (1 << hp.p) ELSE 0 END) AS bucket
+  FROM e, hp GROUP BY e.vec_id, hp.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qe.emb, ce.emb)
+               / (sqrt(list_sum(list_transform(qe.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.emb, x -> x * x)))), 6) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: xxhash64-seeded centroids, 2 Lloyd
+    rounds, nprobe=6 of 16 inverted lists per query. Rows-only (the
+    seeded sample uses xxhash64, which has no DuckDB twin, and Lloyd
+    means are float-order-sensitive); recall vs brute force is
+    pytest-gated (tests/test_textops.py)."""
+    from networkit_spark.operators.similarity import topk_cosine_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return topk_cosine_ivf(emb, queries, k=5, nlist=16, nprobe=6)
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3005,10 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textstats": q_doc_textstats,
         "doc_signatures": q_doc_signatures,
         "doc_minhash_near_dup": q_doc_minhash_near_dup,
-        "doc_lang_id": q_doc_lang_id,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_near_dup": q_emb_near_dup,
-        "emb_ann": q_emb_ann,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "extract_text": q_extract_text,
         "link_pipeline_degree": q_link_pipeline_degree,
@@ -3062,10 +3122,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_textstats": q_doc_textstats_sql(),
         "doc_signatures": q_doc_signatures_sql(),
         "doc_minhash_near_dup": q_doc_minhash_near_dup_sql(),
-        "doc_lang_id": q_doc_lang_id_sql(),
         "emb_topk_cosine": q_emb_topk_cosine_sql(),
         "emb_near_dup": q_emb_near_dup_sql(),
-        # emb_ann: no SQL oracle (engine-side hyperplanes/centroids) — rows-only
+        "emb_ann_lsh": q_emb_ann_lsh_sql(),
+        # emb_ann_ivf: no SQL oracle (xxhash64 seeding + float-order Lloyd
+        # means are engine-side) — rows-only, recall pytest-gated
         "multimodal_features": q_multimodal_features_sql(),
         "extract_text": q_extract_text_sql(),
         "link_pipeline_degree": q_link_pipeline_degree_sql(),

@@ -135,11 +135,11 @@ def main() -> None:
         "doc_exact_dedup",
         "doc_minhash_near_dup",
         "doc_signatures",
-        "doc_lang_id",
         "doc_textstats",
         "emb_topk_cosine",
         "emb_near_dup",
-        "emb_ann",
+        "emb_ann_lsh",
+        "emb_ann_ivf",
         "events_latest",
     ]
     qmap = entry_mod.queries()
