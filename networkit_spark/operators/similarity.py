@@ -103,6 +103,27 @@ def lsh_bucket_col(vec: Column, table: int, planes: int, dim: int) -> Column:
     return bucket
 
 
+def _bucketed(
+    df: DataFrame, out_id: str, tables: int, planes: int, dim: int
+) -> DataFrame:
+    """``(out_id, t, bucket)`` for every (row, table) pair — ONE scan of
+    ``df`` producing all tables via an inline array-explode, instead of a
+    union of per-table re-scans (at corpus scale a T-way union re-reads
+    the source T times)."""
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_col(F.col("emb"), t, planes, dim).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(out_id, F.explode(per_table).alias("tb")).select(
+        out_id, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def topk_cosine_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -116,47 +137,34 @@ def topk_cosine_lsh(
     """Approximate top-k: candidates = bucket collisions in any table,
     exact cosine re-rank on candidates only. Recall grows with
     ``tables``; cost per table is a hash-partitioned equi-join on
-    ``(table, bucket)`` instead of a cross join."""
+    ``(table, bucket)`` instead of a cross join.
+
+    Plan shape: one corpus scan emits all T buckets (inline explode);
+    candidate pairs deduplicate as bare ``(query_id, neighbor_id)``
+    longs (hash aggregate — no array column rides through the shuffle),
+    then embeddings re-attach via equi-joins for the exact re-rank."""
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("c_emb")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_emb")
     )
-    c_b, q_b = [], []
-    for t in range(tables):
-        c_b.append(
-            c.select(
-                "neighbor_id",
-                "c_emb",
-                F.lit(t).alias("t"),
-                lsh_bucket_col(F.col("c_emb"), t, planes, dim).alias("bucket"),
-            )
-        )
-        q_b.append(
-            q.select(
-                "query_id",
-                "q_emb",
-                F.lit(t).alias("t"),
-                lsh_bucket_col(F.col("q_emb"), t, planes, dim).alias("bucket"),
-            )
-        )
-    cb = c_b[0]
-    for x in c_b[1:]:
-        cb = cb.unionAll(x)
-    qb = q_b[0]
-    for x in q_b[1:]:
-        qb = qb.unionAll(x)
+    cb = _bucketed(c.withColumnRenamed("c_emb", "emb"), "neighbor_id", tables, planes, dim)
+    qb = _bucketed(q.withColumnRenamed("q_emb", "emb"), "query_id", tables, planes, dim)
     cand = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -232,35 +240,27 @@ def cosine_near_dup_lsh(
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
     )
-    bucketed = []
-    for t in range(tables):
-        bucketed.append(
-            v.select(
-                "vid",
-                "emb",
-                F.lit(t).alias("t"),
-                lsh_bucket_col(F.col("emb"), t, planes, dim).alias("bucket"),
-            )
-        )
-    vb = bucketed[0]
-    for x in bucketed[1:]:
-        vb = vb.unionAll(x)
-    left = vb.select("t", "bucket", F.col("vid").alias("id_a"), F.col("emb").alias("a_emb"))
-    right = vb.select("t", "bucket", F.col("vid").alias("id_b"), F.col("emb").alias("b_emb"))
+    vb = _bucketed(v, "vid", tables, planes, dim)
+    left = vb.select("t", "bucket", F.col("vid").alias("id_a"))
+    right = vb.select("t", "bucket", F.col("vid").alias("id_b"))
+    # dedupe bare id pairs (hash aggregate on two longs), THEN re-attach
+    # embeddings — arrays never ride through the dedup shuffle
     cand = (
         left.join(right, ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "a_emb", "b_emb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return (
-        cand.select(
+    scored = (
+        cand.join(v.select(F.col("vid").alias("id_a"), F.col("emb").alias("a_emb")), "id_a")
+        .join(v.select(F.col("vid").alias("id_b"), F.col("emb").alias("b_emb")), "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 6).alias("cos"),
         )
-        .where(F.col("cos") >= threshold)
     )
+    return scored.where(F.col("cos") >= threshold)
 
 
 def topk_cosine_ivf(
@@ -309,18 +309,24 @@ def topk_cosine_ivf(
     )
 
     def _assign(cent: DataFrame) -> DataFrame:
+        # nearest centroid via a hash aggregation (lexicographic min of
+        # (-sim, cid)) — a per-nid window here would sort the corpus
+        # after its shuffle; min-structs fold map-side instead
         scored = c.crossJoin(F.broadcast(cent)).select(
             "nid",
-            "emb",
             "cid",
             cosine_col(F.col("emb"), F.col("c_emb")).alias("sim"),
         )
-        w = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("nid", "emb", "cid")
+        best = (
+            scored.groupBy("nid")
+            .agg(
+                F.min(
+                    F.struct((-F.col("sim")).alias("ns"), F.col("cid").alias("cid"))
+                ).alias("pick")
+            )
+            .select("nid", F.col("pick.cid").alias("cid"))
         )
+        return c.join(best, "nid").select("nid", "emb", "cid")
 
     cent = centroids
     for _ in range(lloyd_rounds):
