@@ -58,19 +58,28 @@ def topk_cosine(
     **rounded** cosine with id tie-break, so results are stable across
     summation orders and engines.
     """
+    # norms precomputed per vector at the scan (same expression tree as
+    # cosine_col, so values are identical) — the pair loop then does one
+    # array fold instead of three
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_emb")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    ).withColumn("q_nrm", _norm(F.col("q_emb")))
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("c_emb")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_emb"),
+    ).withColumn("c_nrm", _norm(F.col("c_emb")))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -158,12 +167,16 @@ def topk_cosine_lsh(
         .distinct()
     )
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
+        cand.join(F.broadcast(q.withColumn("q_nrm", _norm(F.col("q_emb")))), "query_id")
+        .join(c.withColumn("c_nrm", _norm(F.col("c_emb"))), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -195,16 +208,20 @@ def cosine_near_dup(
     """
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("a_emb")
-    )
+    ).withColumn("a_nrm", _norm(F.col("a_emb")))
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("b_emb")
-    )
+    ).withColumn("b_nrm", _norm(F.col("b_emb")))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -251,13 +268,32 @@ def cosine_near_dup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    vn = v.withColumn("nrm", _norm(F.col("emb")))
     scored = (
-        cand.join(v.select(F.col("vid").alias("id_a"), F.col("emb").alias("a_emb")), "id_a")
-        .join(v.select(F.col("vid").alias("id_b"), F.col("emb").alias("b_emb")), "id_b")
+        cand.join(
+            vn.select(
+                F.col("vid").alias("id_a"),
+                F.col("emb").alias("a_emb"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("vid").alias("id_b"),
+                F.col("emb").alias("b_emb"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("cos"),
         )
     )
     return scored.where(F.col("cos") >= threshold)
