@@ -169,6 +169,339 @@ def jaccard_measure(p1: DataFrame, p2: DataFrame) -> float:
     return both / union if union else 1.0
 
 
+# --------------------------------------------------- per-cluster evaluations
+#
+# The reference's LocalPartitionEvaluation family (values per cluster +
+# min/max/unweighted/weighted averages). Each returns a per-cluster
+# DataFrame; the summary scalars are one agg away and the gated driver
+# query hashes the rounded unweighted averages.
+
+
+def _cluster_sizes(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+def intrapartition_density(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-cluster intra-cluster edge density
+    (``cpp/community/IntrapartitionDensity.cpp:20-60``): intra-edge count
+    over ``s·(s−1)/2`` possible; clusters where no edge is possible
+    (size 1) score 1.0 like the reference's ``id = 1`` default.
+
+    Returns ``(label, size, intra_edges, density)``.
+    """
+    j = _edge_label_join(graph, labels)
+    intra = (
+        j.where(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    sizes = _cluster_sizes(labels)
+    possible = (F.col("size") * (F.col("size") - 1) / 2.0)
+    return (
+        sizes.join(intra, "label", "left")
+        .na.fill({"intra_edges": 0})
+        .select(
+            "label",
+            "size",
+            "intra_edges",
+            F.when(possible > 0, F.col("intra_edges") / possible)
+            .otherwise(F.lit(1.0))
+            .alias("density"),
+        )
+    )
+
+
+def partition_hub_dominance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-cluster hub dominance (``PartitionHubDominance.cpp:8-66``):
+    max internal degree over ``size − 1``; singleton clusters score 1
+    (the reference's ``dominance = 1`` default). A cluster whose nodes
+    have no internal edges scores 0.
+
+    Returns ``(label, size, max_internal_deg, dominance)``. The scalar
+    ``HubDominance.getQuality`` is the unweighted average of
+    ``dominance`` (``HubDominance.cpp:12-16``).
+    """
+    sym = graph.symmetrized()
+    l_src = labels.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    l_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    internal = (
+        sym.join(l_src, "src")
+        .join(l_dst, "dst")
+        .where(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("src").alias("id"), F.col("l_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("ideg"))
+        .groupBy("label")
+        .agg(F.max("ideg").alias("max_internal_deg"))
+    )
+    sizes = _cluster_sizes(labels)
+    return (
+        sizes.join(internal, "label", "left")
+        .na.fill({"max_internal_deg": 0})
+        .select(
+            "label",
+            "size",
+            "max_internal_deg",
+            F.when(
+                F.col("size") > 1,
+                F.col("max_internal_deg") / (F.col("size") - 1),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("dominance"),
+        )
+    )
+
+
+def partition_fragmentation(
+    graph: Graph, labels: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Per-cluster fragmentation (``PartitionFragmentation.cpp:6-70``):
+    ``1 − largest-connected-piece / cluster size`` where pieces come from
+    intersecting the partition with the connected-components partition
+    (the reference takes the min over nodes of ``1 − pieceSize/size``,
+    i.e. exactly the largest piece). ``components`` is any ``(id, label)``
+    partition frame — pass the CC labels.
+
+    Returns ``(label, size, max_piece, fragmentation)``.
+    """
+    joined = (
+        labels.select("id", "label")
+        .join(components.select("id", F.col("label").alias("comp")), "id")
+        .groupBy("label", "comp")
+        .agg(F.count(F.lit(1)).alias("piece"))
+        .groupBy("label")
+        .agg(F.max("piece").alias("max_piece"))
+    )
+    sizes = _cluster_sizes(labels)
+    return sizes.join(joined, "label").select(
+        "label",
+        "size",
+        "max_piece",
+        (1.0 - F.col("max_piece") / F.col("size")).alias("fragmentation"),
+    )
+
+
+def stable_partition_nodes(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-node stability flags (``StablePartitionNodes.cpp:7-80``):
+    a node is stable iff it is isolated, or its weight to its own label
+    is positive AND strictly exceeds its weight to every other label
+    (the reference marks unstable when any other label ties or wins).
+
+    Returns ``(id, label, stable)``; the per-cluster fraction and the
+    global ``weightedAverage = stableCount/n`` are one groupBy away
+    (see :func:`stable_partition_summary`).
+    """
+    sym = graph.symmetrized()
+    l_dst = labels.select(F.col("id").alias("_d"), F.col("label").alias("nbr_label"))
+    lw = (
+        sym.join(l_dst, sym["dst"] == l_dst["_d"])
+        .groupBy(F.col("src").alias("id"), "nbr_label")
+        .agg(F.sum("weight").alias("w"))
+    )
+    own = labels.select("id", "label")
+    per_node = (
+        lw.join(own, "id")
+        .groupBy("id", "label")
+        .agg(
+            F.sum(F.when(F.col("nbr_label") == F.col("label"), F.col("w"))).alias(
+                "own_w"
+            ),
+            F.max(F.when(F.col("nbr_label") != F.col("label"), F.col("w"))).alias(
+                "other_max"
+            ),
+        )
+        .select(
+            "id",
+            "label",
+            (
+                (F.coalesce(F.col("own_w"), F.lit(0.0)) > 0)
+                & (
+                    F.coalesce(F.col("own_w"), F.lit(0.0))
+                    > F.coalesce(F.col("other_max"), F.lit(0.0))
+                )
+            ).alias("stable"),
+        )
+    )
+    # isolated nodes never appear in lw — the reference counts them stable
+    isolated = own.join(per_node.select("id"), "id", "left_anti").select(
+        "id", "label", F.lit(True).alias("stable")
+    )
+    return per_node.unionAll(isolated)
+
+
+def stable_partition_summary(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-cluster fraction of stable nodes (``values[i] /= size``)."""
+    flags = stable_partition_nodes(graph, labels)
+    return flags.groupBy("label").agg(
+        F.count(F.lit(1)).alias("size"),
+        (F.sum(F.col("stable").cast("long")) / F.count(F.lit(1))).alias(
+            "stable_fraction"
+        ),
+    )
+
+
+def isolated_interpartition_conductance(
+    graph: Graph, labels: DataFrame
+) -> DataFrame:
+    """Per-cluster isolated conductance
+    (``IsolatedInterpartitionConductance.cpp:4-68``): inter-cluster cut
+    of C over ``min(vol(C), vol(G)−vol(C))``; 0 when the denominator is
+    0 (the reference's explicit ``denominator > 0`` guard).
+
+    Returns ``(label, size, cut, vol, conductance)``.
+    """
+    j = _edge_label_join(graph, labels)
+    inter = F.col("l_src") != F.col("l_dst")
+    per_side = j.select(
+        F.col("l_src").alias("label"),
+        F.col("weight"),
+        F.when(inter, F.col("weight")).otherwise(F.lit(0.0)).alias("cutw"),
+    ).unionAll(
+        j.select(
+            F.col("l_dst").alias("label"),
+            F.col("weight"),
+            F.when(inter, F.col("weight")).otherwise(F.lit(0.0)).alias("cutw"),
+        )
+    )
+    per_cluster = per_side.groupBy("label").agg(
+        F.sum("cutw").alias("cut"), F.sum("weight").alias("vol")
+    )
+    total = graph.canonical().agg((2.0 * F.sum("weight")).alias("tv"))
+    sizes = _cluster_sizes(labels)
+    out = sizes.join(per_cluster, "label", "left").na.fill(
+        {"cut": 0.0, "vol": 0.0}
+    ).crossJoin(F.broadcast(total))
+    denom = F.least(F.col("vol"), F.col("tv") - F.col("vol"))
+    return out.select(
+        "label",
+        "size",
+        "cut",
+        "vol",
+        F.when(denom > 0, F.col("cut") / denom).otherwise(F.lit(0.0)).alias(
+            "conductance"
+        ),
+    )
+
+
+def isolated_interpartition_expansion(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-cluster isolated expansion
+    (``IsolatedInterpartitionExpansion.cpp:4-50``): inter-cluster cut
+    over ``min(|C|, n−|C|)``. Documented divergence: the reference
+    divides unconditionally (a whole-graph cluster yields NaN); we emit
+    0.0 for a 0 denominator — a DataFrame-friendlier sentinel, same
+    rationale as Sfigality's isolated-node 0.0.
+
+    Returns ``(label, size, cut, expansion)``.
+    """
+    j = _edge_label_join(graph, labels)
+    inter = F.col("l_src") != F.col("l_dst")
+    cut = (
+        j.where(inter)
+        .select(F.col("l_src").alias("label"), "weight")
+        .unionAll(j.where(inter).select(F.col("l_dst").alias("label"), "weight"))
+        .groupBy("label")
+        .agg(F.sum("weight").alias("cut"))
+    )
+    n = graph.number_of_nodes()
+    sizes = _cluster_sizes(labels)
+    denom = F.least(F.col("size"), F.lit(n) - F.col("size"))
+    return (
+        sizes.join(cut, "label", "left")
+        .na.fill({"cut": 0.0})
+        .select(
+            "label",
+            "size",
+            "cut",
+            F.when(denom > 0, F.col("cut") / denom)
+            .otherwise(F.lit(0.0))
+            .alias("expansion"),
+        )
+    )
+
+
+def adjusted_rand_dissimilarity(p1: DataFrame, p2: DataFrame) -> float:
+    """Adjusted-Rand *dissimilarity* ``1 − ARI``
+    (``AdjustedRandMeasure.cpp:5-54``), computed from the contingency
+    table: ``randIndex = Σ C(n_ij,2)``, ``sumZeta/sumEta = Σ C(a_i,2)/
+    Σ C(b_j,2)``, ``expected = sumZeta·sumEta / C(n,2)``,
+    ``max = (sumZeta+sumEta)/2``; both degenerate guards (all-singleton
+    and single-cluster) return 0.0 exactly like the reference.
+    """
+    cont = _contingency(p1, p2).persist()
+    row = cont.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("rand"),
+    ).collect()[0]
+    n, rand_idx = row["n"], float(row["rand"] or 0.0)
+    sum_zeta = float(
+        cont.groupBy("l1")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.col("a") * (F.col("a") - 1) / 2))
+        .collect()[0][0]
+        or 0.0
+    )
+    sum_eta = float(
+        cont.groupBy("l2")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2))
+        .collect()[0][0]
+        or 0.0
+    )
+    cont.unpersist()
+    if n < 2:
+        return 0.0
+    denominator = n * (n - 1) / 2.0
+    max_index = 0.5 * (sum_zeta + sum_eta)
+    expected = sum_zeta * sum_eta / denominator
+    if max_index == 0 or max_index == expected:
+        return 0.0
+    return 1.0 - (rand_idx - expected) / (max_index - expected)
+
+
+def cover_f1_similarity(
+    memberships: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Per-cluster best-F1 against a reference cover
+    (``CoverF1Similarity.cpp:9-100``). Covers are multi-membership
+    frames ``(id, label)`` (a node may carry several labels). For each
+    cluster c of ``memberships``: overlap with every reference cluster s
+    via one join-agg, then ``F1 = 2·ol / (|c| + |s|)`` (the harmonic
+    mean of ol/|c| and ol/|s| simplifies because both share the ol
+    numerator), best F1 per c. Clusters overlapping nothing score 0.
+
+    Returns ``(label, size, f1)``.
+    """
+    c_sizes = memberships.groupBy("label").agg(F.count(F.lit(1)).alias("c_size"))
+    r_sizes = (
+        reference.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("r_size"))
+        .select(F.col("label").alias("r_label"), "r_size")
+    )
+    overlap = (
+        memberships.select("id", "label")
+        .join(
+            reference.select("id", F.col("label").alias("r_label")), "id"
+        )
+        .groupBy("label", "r_label")
+        .agg(F.count(F.lit(1)).alias("ol"))
+    )
+    best = (
+        overlap.join(c_sizes, "label")
+        .join(F.broadcast(r_sizes), "r_label")
+        .select(
+            "label",
+            F.col("c_size"),
+            (2.0 * F.col("ol") / (F.col("c_size") + F.col("r_size"))).alias("f1"),
+        )
+        .groupBy("label", "c_size")
+        .agg(F.max("f1").alias("f1"))
+    )
+    return (
+        c_sizes.join(best.select("label", "f1"), "label", "left")
+        .na.fill({"f1": 0.0})
+        .select("label", F.col("c_size").alias("size"), "f1")
+    )
+
+
 def nmi(p1: DataFrame, p2: DataFrame) -> float:
     """Normalized mutual information between two partitions
     (``NMIDistance.cpp`` computes 1−NMI; we return NMI)."""
