@@ -542,6 +542,180 @@ FROM pairs, mean
 """
 
 
+_PQ_CLUSTERS = 32
+
+
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster partition-evaluation panel over the deterministic
+    ``id % 32`` partition of the V_SMALL undirected graph: intra-cluster
+    density (``IntrapartitionDensity.cpp``), hub dominance
+    (``PartitionHubDominance.cpp``), fragmentation against the hash-min
+    CC partition (``PartitionFragmentation.cpp``), stable-node fraction
+    (``StablePartitionNodes.cpp``), isolated inter-partition conductance
+    and expansion (``IsolatedInterpartition{Conductance,Expansion}.cpp``).
+    The mod partition cuts across components, so every measure is
+    non-degenerate."""
+    from networkit_spark.operators.quality import (
+        intrapartition_density,
+        isolated_interpartition_conductance,
+        isolated_interpartition_expansion,
+        partition_fragmentation,
+        partition_hub_dominance,
+        stable_partition_summary,
+    )
+
+    g = undirected_graph(spark, sf_dir)
+    part = g.vertices.select("id", (F.col("id") % _PQ_CLUSTERS).alias("label"))
+    cc = _cc_run(spark, sf_dir).get_partition()
+    dens = intrapartition_density(g, part).select("label", "size", "density")
+    dom = partition_hub_dominance(g, part).select("label", "dominance")
+    frag = partition_fragmentation(g, part, cc).select("label", "fragmentation")
+    stab = stable_partition_summary(g, part).select("label", "stable_fraction")
+    iic = isolated_interpartition_conductance(g, part).select(
+        "label", "conductance"
+    )
+    iie = isolated_interpartition_expansion(g, part).select("label", "expansion")
+    out = (
+        dens.join(dom, "label")
+        .join(frag, "label")
+        .join(stab, "label")
+        .join(iic, "label")
+        .join(iie, "label")
+    )
+    return out.select(
+        "label",
+        "size",
+        F.round("density", 8).alias("density"),
+        F.round("dominance", 8).alias("dominance"),
+        F.round("fragmentation", 8).alias("fragmentation"),
+        F.round("stable_fraction", 8).alias("stable_fraction"),
+        F.round("conductance", 8).alias("conductance"),
+        F.round("expansion", 8).alias("expansion"),
+    )
+
+
+def q_partition_quality_sql() -> str:
+    k = _PQ_CLUSTERS
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{_sql_hashmin_labels()},
+part AS MATERIALIZED (SELECT id, id % {k} AS label FROM nodes),
+sizes AS (SELECT label, count(*) AS size FROM part GROUP BY label),
+ej AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight, p1.label AS l_src, p2.label AS l_dst
+  FROM edges e JOIN part p1 ON p1.id = e.src JOIN part p2 ON p2.id = e.dst
+),
+intra AS (
+  SELECT l_src AS label, count(*) AS ie FROM ej
+  WHERE l_src = l_dst GROUP BY l_src
+),
+dens AS (
+  SELECT s.label, s.size,
+         CASE WHEN s.size > 1
+              THEN coalesce(ie, 0) / (s.size * (s.size - 1) / 2.0)
+              ELSE 1.0 END AS density
+  FROM sizes s LEFT JOIN intra USING (label)
+),
+ideg AS (
+  SELECT sj.src AS id, p1.label, count(*) AS d
+  FROM sym sj JOIN part p1 ON p1.id = sj.src
+              JOIN part p2 ON p2.id = sj.dst
+  WHERE p1.label = p2.label
+  GROUP BY sj.src, p1.label
+),
+dom AS (
+  SELECT s.label,
+         CASE WHEN s.size > 1
+              THEN coalesce(m.md, 0) * 1.0 / (s.size - 1)
+              ELSE 1.0 END AS dominance
+  FROM sizes s LEFT JOIN (
+    SELECT label, max(d) AS md FROM ideg GROUP BY label
+  ) m USING (label)
+),
+pieces AS (
+  SELECT p.label, l.label AS comp, count(*) AS piece
+  FROM part p JOIN labels l USING (id)
+  GROUP BY p.label, l.label
+),
+frag AS (
+  SELECT s.label, 1.0 - max(piece) * 1.0 / s.size AS fragmentation
+  FROM sizes s JOIN pieces USING (label)
+  GROUP BY s.label, s.size
+),
+lw AS (
+  SELECT sj.src AS id, p2.label AS nbr_label, sum(sj.weight) AS w
+  FROM sym sj JOIN part p2 ON p2.id = sj.dst
+  GROUP BY sj.src, p2.label
+),
+node_stab AS (
+  SELECT p.id, p.label,
+         coalesce(sum(CASE WHEN lw.nbr_label = p.label THEN lw.w END), 0)
+           AS own_w,
+         coalesce(max(CASE WHEN lw.nbr_label <> p.label THEN lw.w END), 0)
+           AS other_max,
+         count(lw.nbr_label) AS nn
+  FROM part p LEFT JOIN lw ON lw.id = p.id
+  GROUP BY p.id, p.label
+),
+stab AS (
+  SELECT label,
+         avg(CASE WHEN nn = 0 OR (own_w > 0 AND own_w > other_max)
+                  THEN 1.0 ELSE 0.0 END) AS stable_fraction
+  FROM node_stab GROUP BY label
+),
+side AS (
+  SELECT l_src AS label, weight,
+         CASE WHEN l_src <> l_dst THEN weight ELSE 0 END AS cutw
+  FROM ej
+  UNION ALL
+  SELECT l_dst AS label, weight,
+         CASE WHEN l_src <> l_dst THEN weight ELSE 0 END AS cutw
+  FROM ej
+),
+volcut AS (
+  SELECT label, sum(cutw) AS cut, sum(weight) AS vol
+  FROM side GROUP BY label
+),
+tot AS (SELECT 2.0 * sum(weight) AS tv FROM edges),
+n_all AS (SELECT count(*) AS n FROM nodes)
+SELECT d.label, d.size,
+       round(d.density, 8) AS density,
+       round(dom.dominance, 8) AS dominance,
+       round(f.fragmentation, 8) AS fragmentation,
+       round(st.stable_fraction, 8) AS stable_fraction,
+       round(CASE WHEN least(v.vol, tot.tv - v.vol) > 0
+                  THEN v.cut / least(v.vol, tot.tv - v.vol)
+                  ELSE 0.0 END, 8) AS conductance,
+       round(CASE WHEN least(d.size, n_all.n - d.size) > 0
+                  THEN v.cut / least(d.size, n_all.n - d.size)
+                  ELSE 0.0 END, 8) AS expansion
+FROM dens d
+JOIN dom USING (label)
+JOIN frag f USING (label)
+JOIN stab st USING (label)
+JOIN volcut v USING (label)
+CROSS JOIN tot CROSS JOIN n_all
+"""
+
+
+def q_spectral_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector + Katz centralities joined per node (merged family
+    row: both ride the same 5-round unrolled power-iteration plan over
+    the V_BIG directed graph; formerly two standalone gate entries)."""
+    ev = q_eigenvector(spark, sf_dir).select(
+        "id", F.col("score").alias("eigenvector")
+    )
+    kz = q_katz(spark, sf_dir).select("id", F.col("score").alias("katz"))
+    return ev.join(kz, "id")
+
+
+def q_spectral_ranks_sql() -> str:
+    return f"""
+SELECT e.id, e.score AS eigenvector, k.score AS katz
+FROM ({q_eigenvector_sql()}) e JOIN ({q_katz_sql()}) k USING (id)
+"""
+
+
 # ------------------------------------------------------- document / text ops
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per md5(text)."""
@@ -3050,8 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_selection": q_group_selection,
         "same_community": q_same_community,
         "node_misc_scores": q_node_misc_scores,
-        "eigenvector": q_eigenvector,
-        "katz": q_katz,
+        "spectral_ranks": q_spectral_ranks,
+        "partition_quality": q_partition_quality,
         "node2vec": q_node2vec,
         "biconnected": q_biconnected,
         "kadabra": q_kadabra,
@@ -3111,8 +3285,8 @@ def oracle_sql() -> dict[str, str]:
         "missing_links": q_missing_links_sql(),
         "same_community": q_same_community_sql(),
         "node_misc_scores": q_node_misc_scores_sql(),
-        "eigenvector": q_eigenvector_sql(),
-        "katz": q_katz_sql(),
+        "spectral_ranks": q_spectral_ranks_sql(),
+        "partition_quality": q_partition_quality_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
         "pagerank_nibble": q_pagerank_nibble_sql(),
