@@ -3137,22 +3137,91 @@ CROSS JOIN ({q_assortativity_sql()}) a
 
 def q_node_misc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id)-keyed misc centralities in one gated frame: Sfigality,
-    Laplacian centrality, LocalPartitionCoverage, Permanence."""
+    Laplacian centrality, LocalPartitionCoverage, Permanence, plus the
+    Luby maximal-independent-set membership flag."""
     return (
         q_sfigality(spark, sf_dir)
         .join(q_laplacian(spark, sf_dir), "id")
         .join(q_local_partition_coverage(spark, sf_dir), "id")
         .join(q_permanence(spark, sf_dir), "id")
+        .join(q_luby(spark, sf_dir), "id")
     )
+
+
+_LUBY_ROUNDS = 22  # measured convergence at sf0.01: 15 rounds; extra
+# rounds are identity (empty active set → empty S → state unchanged)
+
+
+def q_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set membership flags
+    (``cpp/independentset/Luby.cpp:14-100``) on the V_SMALL undirected
+    graph — md5-lane uniforms make the run bit-deterministic and
+    SQL-twinnable (see operators/independentset.py determinism
+    contract)."""
+    from networkit_spark.operators.independentset import Luby
+
+    g = undirected_graph(spark, sf_dir)
+    return Luby(g, seed=0, max_rounds=_LUBY_ROUNDS).run().flags()
+
+
+def q_luby_sql() -> str:
+    steps = ["st0 AS (SELECT id, TRUE AS active, FALSE AS in_mis FROM nodes)"]
+    for k in range(1, _LUBY_ROUNDS + 1):
+        u32 = (
+            f"CAST(CAST(('0x' || substr(md5('luby0r{k}:' || "
+            f"CAST(a.id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)"
+        )
+        steps.append(
+            f"""wd{k} AS MATERIALIZED (
+  SELECT s.src AS id, sum(s.weight) AS wd
+  FROM sym s JOIN st{k - 1} a ON a.id = s.src AND a.active
+             JOIN st{k - 1} b ON b.id = s.dst AND b.active
+  GROUP BY s.src
+),
+sel{k} AS MATERIALIZED (
+  SELECT a.id, coalesce(w.wd, 0) AS wd
+  FROM st{k - 1} a LEFT JOIN wd{k} w USING (id)
+  WHERE a.active AND (w.wd IS NULL
+        OR {u32} / 4294967296.0 < 1.0 / (2.0 * w.wd))
+),
+los{k} AS (
+  SELECT DISTINCT CASE WHEN sb.wd > sa.wd THEN e.src ELSE e.dst END AS id
+  FROM edges e JOIN sel{k} sa ON sa.id = e.src
+               JOIN sel{k} sb ON sb.id = e.dst
+),
+sp{k} AS MATERIALIZED (
+  SELECT s.id FROM sel{k} s LEFT JOIN los{k} l USING (id)
+  WHERE l.id IS NULL
+),
+de{k} AS (
+  SELECT id FROM sp{k}
+  UNION
+  SELECT s.dst AS id FROM sym s JOIN sp{k} p ON p.id = s.src
+),
+st{k} AS MATERIALIZED (
+  SELECT s.id,
+         s.active AND d.id IS NULL AS active,
+         s.in_mis OR p.id IS NOT NULL AS in_mis
+  FROM st{k - 1} s LEFT JOIN sp{k} p USING (id)
+                   LEFT JOIN de{k} d USING (id)
+)"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{steps_sql}
+SELECT id, in_mis FROM st{_LUBY_ROUNDS}
+"""
 
 
 def q_node_misc_scores_sql() -> str:
     return f"""
-SELECT s.id, s.sfigality, l.laplacian, c.coverage, p.permanence
+SELECT s.id, s.sfigality, l.laplacian, c.coverage, p.permanence, m.in_mis
 FROM ({q_sfigality_sql()}) s
 JOIN ({q_laplacian_sql()}) l ON l.id = s.id
 JOIN ({q_local_partition_coverage_sql()}) c ON c.id = s.id
 JOIN ({q_permanence_sql()}) p ON p.id = s.id
+JOIN ({q_luby_sql()}) m ON m.id = s.id
 """
 
 

@@ -86,6 +86,7 @@ from networkit_spark.operators.randomization import (
     DegreePreservingShuffle,
 )
 from networkit_spark.operators.flow import EdmondsKarp
+from networkit_spark.operators.independentset import Luby
 from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
 from networkit_spark.operators.dynkatz import DynKatzCentrality
@@ -120,6 +121,7 @@ __all__ = [
     "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
     "EdmondsKarp",
+    "Luby",
     "GedWalk",
     "BiconnectedComponents",
     "Curveball",
