@@ -87,6 +87,12 @@ from networkit_spark.operators.randomization import (
 )
 from networkit_spark.operators.flow import EdmondsKarp
 from networkit_spark.operators.independentset import Luby
+from networkit_spark.operators.distance import (
+    Eccentricity,
+    HopPlotApproximation,
+    NeighborhoodFunction,
+    NeighborhoodFunctionApproximation,
+)
 from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
 from networkit_spark.operators.dynkatz import DynKatzCentrality
@@ -122,6 +128,10 @@ __all__ = [
     "DynWeaklyConnectedComponents",
     "EdmondsKarp",
     "Luby",
+    "Eccentricity",
+    "HopPlotApproximation",
+    "NeighborhoodFunction",
+    "NeighborhoodFunctionApproximation",
     "GedWalk",
     "BiconnectedComponents",
     "Curveball",

@@ -477,3 +477,222 @@ class Dijkstra(Algorithm):
         if not rows:
             return float("inf")
         return rows[0]["dist"]
+
+
+class Eccentricity:
+    """Per-node eccentricity (``cpp/distance/Eccentricity.cpp:13-23`` —
+    ``getValue(G, u)`` runs one BFS and returns (argmax node, max
+    dist)). Batched here: ONE multi-source BFS (the APSP frame) serves
+    every node, so the round count is O(diameter) total, not per node.
+
+    Documented divergence: the reference's argmax node is the last node
+    the BFS visits (adjacency-order-dependent, nondeterministic under
+    its own OpenMP scheduling); we return the SMALLEST node id at the
+    maximum distance — a deterministic representative of the same
+    distance value. The eccentricity VALUE matches exactly.
+    """
+
+    @staticmethod
+    def frame(graph: Graph, sources: list[int] | None = None) -> DataFrame:
+        """``(id, farthest, ecc)`` for every (or selected) source."""
+        apsp = APSP(graph, sources=sources).run()
+        d = apsp.distances()
+        return (
+            d.groupBy(F.col("source").alias("id"))
+            .agg(
+                F.max("dist").alias("ecc"),
+                F.min_by(
+                    F.col("id"), F.struct(-F.col("dist"), F.col("id"))
+                ).alias("farthest"),
+            )
+            .select("id", "farthest", "ecc")
+        )
+
+    @staticmethod
+    def get_value(graph: Graph, u: int) -> tuple[int, int]:
+        """(argmax node, eccentricity) — the reference's static API."""
+        row = Eccentricity.frame(graph, sources=[u]).collect()
+        if not row:
+            raise KeyError(u)
+        return int(row[0]["farthest"]), int(row[0]["ecc"])
+
+
+class NeighborhoodFunction(Algorithm):
+    """Exact neighborhood function
+    (``cpp/distance/NeighborhoodFunction.cpp:28-55``): ``NF(h)`` = number
+    of ordered node pairs at hop distance ``1..h``; the reference runs a
+    BFS per node and histograms distances — here ONE batched multi-source
+    BFS produces the full distance frame and the histogram is a single
+    aggregation. Like the reference ctor we reject directed graphs; the
+    single-component precondition is asserted cheaply from the result
+    (reached pairs must equal n·(n−1)) rather than with an extra CC run.
+    """
+
+    def __init__(self, graph: Graph, max_hops: int = 10_000) -> None:
+        if graph.directed:
+            raise ValueError(
+                "NeighborhoodFunction requires an undirected graph "
+                "(NeighborhoodFunction.cpp ctor)"
+            )
+        super().__init__(graph)
+        self.max_hops = max_hops
+        self._values: list[int] = []
+
+    def _run(self) -> None:
+        g = self.graph
+        d = APSP(g, max_hops=self.max_hops).run().distances()
+        hist = {
+            int(r["dist"]): int(r["c"])
+            for r in d.where(F.col("dist") > 0)
+            .groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = g.number_of_nodes()
+        reached = sum(hist.values())
+        if reached != n * (n - 1):
+            raise RuntimeError(
+                "NeighborhoodFunction requires a connected graph "
+                "(NeighborhoodFunction.cpp ctor precondition): "
+                f"{reached} reached pairs != n(n-1) = {n * (n - 1)}"
+            )
+        out, acc = [], 0
+        for h in range(1, (max(hist) if hist else 0) + 1):
+            acc += hist.get(h, 0)
+            out.append(acc)
+        self._values = out
+
+    def get_neighborhood_function(self) -> list[int]:
+        self.assure_finished()
+        return list(self._values)
+
+
+def _anf_per_hop(
+    graph: Graph, k: int, r: int, seed: int, max_hops: int
+) -> tuple[list[float], int]:
+    """Shared ANF propagation: per-hop sum over nodes of the
+    Flajolet-Martin reachable-count estimate ``min(2^avg_b / 0.77351, n)``
+    (per-node clamp = the reference's "enforce monotonicity",
+    ``HopPlotApproximation.cpp:103-106``). Same integer-portable mask
+    machinery as EffectiveDiameterApproximation; returns (estimates for
+    h = 1.., n)."""
+    from networkit_spark.plans.iterate import Materializer
+
+    n = graph.number_of_nodes()
+    if n == 0:
+        return [], 0
+    proto = EffectiveDiameterApproximation(graph, k=k, r=r, seed=seed)
+    sym = (
+        graph.symmetrized()
+        .select("src", "dst", F.lit(False).alias("is_self"))
+        .unionAll(
+            graph.vertices.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
+        )
+        .persist()
+    )
+    mat = Materializer()
+    masks = mat.cut(0, proto._init_masks())
+
+    def estimate(m: DataFrame) -> float:
+        lowest_zero = F.bit_count(
+            F.shiftright(F.col("mask").bitwiseXOR(F.col("mask") + 1), 1)
+        )
+        per_node = m.groupBy("id").agg(F.avg(lowest_zero).alias("b"))
+        row = per_node.agg(
+            F.sum(
+                F.least(
+                    F.pow(F.lit(2.0), F.col("b")) / F.lit(0.77351),
+                    F.lit(float(n)),
+                )
+            ).alias("est")
+        ).collect()[0]
+        return row["est"] or 0.0
+
+    per_hop: list[float] = []
+    hop = 0
+    while hop < max_hops:
+        hop += 1
+        new_masks = (
+            sym.join(masks, sym.src == masks.id)
+            .groupBy(F.col("dst").alias("id"), "trial")
+            .agg(
+                F.bit_or("mask").alias("mask"),
+                F.max(F.when(F.col("is_self"), F.col("mask"))).alias("old_mask"),
+            )
+        )
+        new_masks = mat.cut(hop, new_masks)
+        changed = new_masks.where(F.col("mask") != F.col("old_mask")).count()
+        masks = new_masks.select("id", "trial", "mask")
+        per_hop.append(estimate(masks))
+        if changed == 0:
+            break
+    sym.unpersist()
+    return per_hop, n
+
+
+class NeighborhoodFunctionApproximation(Algorithm):
+    """ANF neighborhood-function estimate
+    (``cpp/distance/NeighborhoodFunctionApproximation.cpp``): per hop the
+    summed per-node reachable estimates (clamped at n per node), i.e.
+    ordered pairs including self-pairs; subtract n for the exact-NF
+    convention. Accuracy is pytest-asserted against the exact NF."""
+
+    def __init__(
+        self, graph: Graph, k: int = 16, r: int = 7, seed: int = 42,
+        max_hops: int = 100,
+    ) -> None:
+        if graph.directed:
+            raise ValueError("requires an undirected graph")
+        super().__init__(graph)
+        self.k, self.r, self.seed, self.max_hops = k, r, seed, max_hops
+        self._values: list[float] = []
+
+    def _run(self) -> None:
+        per_hop, n = _anf_per_hop(
+            self.graph, self.k, self.r, self.seed, self.max_hops
+        )
+        # pairs excluding self (the exact NF convention)
+        self._values = [max(e - n, 0.0) for e in per_hop]
+
+    def get_neighborhood_function(self) -> list[float]:
+        self.assure_finished()
+        return list(self._values)
+
+
+class HopPlotApproximation(Algorithm):
+    """ANF hop plot (``cpp/distance/HopPlotApproximation.cpp:24-140``):
+    fraction of connected node pairs per hop; ``hopPlot[0] = 1/n``
+    (every node reaches itself). Documented divergence: the reference
+    accumulates finished nodes twice in its per-round total
+    (``:121-131`` adds n inside the sweep AND counts the shrunken
+    active list after it); we use the clean ``Σ_u est(u) / n²``, clamped
+    to 1, which is the quantity its comment describes."""
+
+    def __init__(
+        self, graph: Graph, k: int = 16, r: int = 7, seed: int = 42,
+        max_hops: int = 100,
+    ) -> None:
+        if graph.directed:
+            raise ValueError(
+                "current implementation can only deal with undirected "
+                "graphs (HopPlotApproximation.cpp ctor)"
+            )
+        super().__init__(graph)
+        self.k, self.r, self.seed, self.max_hops = k, r, seed, max_hops
+        self._plot: dict[int, float] = {}
+
+    def _run(self) -> None:
+        per_hop, n = _anf_per_hop(
+            self.graph, self.k, self.r, self.seed, self.max_hops
+        )
+        plot = {0: 1.0 / n if n else 0.0}
+        for h, est in enumerate(per_hop, start=1):
+            plot[h] = min(est / (n * n), 1.0) if n else 0.0
+        self._plot = plot
+
+    def get_hop_plot(self) -> dict[int, float]:
+        self.assure_finished()
+        return dict(self._plot)
