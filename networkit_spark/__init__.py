@@ -73,7 +73,9 @@ from networkit_spark.operators.dyncomponents import (
 )
 from networkit_spark.operators.spanning import (
     MinimumSpanningForest,
+    RandomMaximumSpanningForest,
     SpanningForest,
+    UnionMaximumSpanningForest,
 )
 from networkit_spark.operators.node2vec import Node2Vec
 from networkit_spark.operators.biconnected import BiconnectedComponents
@@ -142,7 +144,9 @@ __all__ = [
     "MinimumSpanningForest",
     "PageRankNibble",
     "Node2Vec",
+    "RandomMaximumSpanningForest",
     "SpanningForest",
+    "UnionMaximumSpanningForest",
     "EffectiveDiameterApproximation",
     "ParallelPartitionCoarsening",
     "PLM",

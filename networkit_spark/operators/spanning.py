@@ -45,6 +45,15 @@ class MinimumSpanningForest(Algorithm):
         self._forest: DataFrame | None = None
         self._labels: DataFrame | None = None
 
+    def _sort_keys(self) -> list:
+        """Leading sort keys of the per-component edge pick; (weight,
+        src, dst) lexicographic = deterministic MINIMUM forest. Subclass
+        hook (RandomMaximumSpanningForest flips and randomizes)."""
+        return [F.col("weight")]
+
+    def _parallel_edge_agg(self, w):
+        return F.min(w)
+
     def _run(self) -> None:
         g = self.graph
         spark = g.edges.sparkSession
@@ -53,9 +62,10 @@ class MinimumSpanningForest(Algorithm):
             g.canonical()
             .select("src", "dst", "weight")
             .where(F.col("src") != F.col("dst"))
-            # multigraph: keep the cheapest parallel edge (deterministic)
+            # multigraph: keep the best parallel edge (deterministic;
+            # cheapest for min forests, heaviest for max forests)
             .groupBy("src", "dst")
-            .agg(F.min("weight").alias("weight"))
+            .agg(self._parallel_edge_agg(F.col("weight")).alias("weight"))
         )
         canon = mat.cut(0, canon)
         labels = mat.cut(0, g.vertices.select("id", F.col("id").alias("label")))
@@ -86,9 +96,16 @@ class MinimumSpanningForest(Algorithm):
             # agg — struct field order (weight, src, dst) IS the
             # deterministic tie-break, with map-side partial aggregation
             # instead of a row_number exchange+sort
+            keys = [
+                k.alias(f"k{i}") for i, k in enumerate(self._sort_keys())
+            ]
             picked = (
                 both.groupBy("comp")
-                .agg(F.min(F.struct("weight", "src", "dst", "lu", "lv")).alias("p"))
+                .agg(
+                    F.min(
+                        F.struct(*keys, "src", "dst", "weight", "lu", "lv")
+                    ).alias("p")
+                )
                 .select("p.src", "p.dst", "p.weight", "p.lu", "p.lv")
                 .distinct()
                 .transform(local_cut)
@@ -188,3 +205,161 @@ class SpanningForest(MinimumSpanningForest):
         inner.run()
         self._forest = inner._forest
         self._labels = inner._labels
+
+
+class RandomMaximumSpanningForest(MinimumSpanningForest):
+    """Maximum-weight spanning forest with seeded tie order
+    (``cpp/graph/RandomMaximumSpanningForest.cpp:14-70`` — descending
+    Kruskal whose equal-weight edges are taken in randomized order; used
+    by the Simmelian backbone sparsifiers). Same Borůvka rounds as the
+    base class with the pick flipped to heaviest-first; among equal
+    weights the order is an md5 hash of (seed, src, dst) — the seeded,
+    partitioning-independent analog of the reference's shuffled sort.
+    """
+
+    def __init__(self, graph: Graph, seed: int = 0, max_rounds: int = 64):
+        super().__init__(graph, max_rounds=max_rounds)
+        self.seed = seed
+
+    def _sort_keys(self) -> list:
+        from networkit_spark.operators.dedup import portable_hash32
+
+        tie = portable_hash32(
+            F.concat_ws(":", F.col("src"), F.col("dst")),
+            f"rmsf{self.seed}",
+        )
+        return [-F.col("weight"), tie]
+
+    def _parallel_edge_agg(self, w):
+        return F.max(w)
+
+
+class UnionMaximumSpanningForest(Algorithm):
+    """Union of ALL maximum spanning forests
+    (``cpp/graph/UnionMaximumSpanningForest.cpp:11-82``): descending
+    Kruskal that defers union-find merges until the weight level
+    changes, so every edge of a level is judged against strictly-heavier
+    edges only. Equivalent cut characterization implemented here: an
+    edge (u,v,w) is in the UMSF iff u and v are in different connected
+    components of the subgraph of edges with weight > w.
+
+    Plan: one pass over the distinct weight levels in descending order;
+    per level, edges whose endpoint labels (CC of the strictly-heavier
+    prefix) differ join the forest, then the level's edges merge into
+    the labels by hash-min on the contracted component graph. Round
+    count is O(#levels) — fine for the quantized weight columns the
+    backbone sparsifiers feed it; ``max_levels`` fails loudly when a
+    continuous weight column should be bucketed first.
+    """
+
+    def __init__(self, graph: Graph, max_levels: int = 512) -> None:
+        if graph.directed:
+            raise ValueError("spanning forests need an undirected graph")
+        super().__init__(graph)
+        self.max_levels = max_levels
+        self._forest: DataFrame | None = None
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        mat = Materializer()
+        canon = (
+            g.canonical()
+            .select("src", "dst", "weight")
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        canon = mat.cut(0, canon)
+        levels = [
+            float(r["weight"])
+            for r in canon.select("weight").distinct()
+            .orderBy(F.desc("weight")).limit(self.max_levels + 1).collect()
+        ]
+        if len(levels) > self.max_levels:
+            raise RuntimeError(
+                f"more than {self.max_levels} distinct weight levels — "
+                "bucket the weight column before UnionMaximumSpanningForest"
+            )
+        labels = mat.cut(0, g.vertices.select("id", F.col("id").alias("label")))
+        forest: DataFrame | None = None
+        for i, w in enumerate(levels, start=1):
+            level_edges = canon.where(F.col("weight") == w)
+            ls = labels.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+            ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+            cross = (
+                level_edges.join(ls.hint("shuffle_hash"), "src")
+                .join(ld.hint("shuffle_hash"), "dst")
+                .where(F.col("lu") != F.col("lv"))
+                .transform(local_cut)
+            )
+            add = cross.select("src", "dst", "weight")
+            forest = add if forest is None else forest.unionAll(add)
+            forest = mat.cut(i, forest)
+            # merge this level's component pairs (hash-min to fixpoint on
+            # the contracted pair graph — tiny relative to the input)
+            pairs = cross.select("lu", "lv").distinct()
+            merge = pairs.select(
+                F.col("lu").alias("a"), F.col("lv").alias("b")
+            ).unionAll(
+                pairs.select(F.col("lv").alias("a"), F.col("lu").alias("b"))
+            ).transform(local_cut)
+            comp_labels = (
+                merge.select(F.col("a").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("m"))
+                .transform(local_cut)
+            )
+            while True:
+                gathered = (
+                    merge.join(comp_labels, merge.a == comp_labels.node)
+                    .groupBy(F.col("b").alias("node"))
+                    .agg(F.min("m").alias("nm"))
+                )
+                new_cl = (
+                    comp_labels.join(gathered, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("m"), F.coalesce("nm", F.col("m"))
+                        ).alias("m"),
+                    )
+                    .transform(local_cut)
+                )
+                changed = (
+                    new_cl.alias("new")
+                    .join(comp_labels.alias("old"), "node")
+                    .where(F.col("new.m") != F.col("old.m"))
+                    .count()
+                )
+                comp_labels = new_cl
+                if changed == 0:
+                    break
+            remap = comp_labels.select(
+                F.col("node").alias("label"), F.col("m").alias("new_label")
+            )
+            labels = (
+                labels.join(F.broadcast(remap), "label", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+            )
+            labels = mat.cut(i, labels)
+        self._forest = forest if forest is not None else spark.createDataFrame(
+            [], "src long, dst long, weight double"
+        )
+
+    def get_forest(self) -> DataFrame:
+        """``(src, dst, weight)`` — every edge in at least one maximum
+        spanning forest (``inUMSF`` analog)."""
+        self.assure_finished()
+        return self._forest
+
+    def in_umsf(self, u: int, v: int) -> bool:
+        """``UnionMaximumSpanningForest::inUMSF(u, v)``."""
+        self.assure_finished()
+        a, b = (u, v) if u <= v else (v, u)
+        return (
+            self._forest.where(
+                (F.col("src") == a) & (F.col("dst") == b)
+            ).limit(1).count()
+            > 0
+        )
