@@ -82,7 +82,7 @@ from networkit_spark.operators.biconnected import BiconnectedComponents
 from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
-from networkit_spark.operators.scd import PageRankNibble
+from networkit_spark.operators.scd import GCE, PageRankNibble
 from networkit_spark.operators.randomization import (
     Curveball,
     DegreePreservingShuffle,
@@ -142,6 +142,7 @@ __all__ = [
     "LocalMaxMatcher",
     "MaximalCliques",
     "MinimumSpanningForest",
+    "GCE",
     "PageRankNibble",
     "Node2Vec",
     "RandomMaximumSpanningForest",
