@@ -82,6 +82,7 @@ from networkit_spark.operators.biconnected import BiconnectedComponents
 from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
+from networkit_spark.operators.approxcloseness import ApproxCloseness
 from networkit_spark.operators.scd import GCE, PageRankNibble
 from networkit_spark.operators.randomization import (
     Curveball,
@@ -102,6 +103,7 @@ from networkit_spark.operators.dynbetweenness import DynApproxBetweenness
 
 __all__ = [
     "ApproxBetweenness",
+    "ApproxCloseness",
     "ApproxGroupBetweenness",
     "GroupCloseness",
     "GroupDegree",
