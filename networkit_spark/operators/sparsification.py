@@ -425,3 +425,187 @@ def random_edge_scores(graph: Graph, seed: int = 42) -> DataFrame:
              / F.lit(float(2**63))) / 2.0 + 0.5
         ).alias("score"),
     )
+
+
+def forest_fire_scores(
+    graph: Graph,
+    pf: float,
+    target_burnt_ratio: float,
+    seed: int = 42,
+    first_batch: int = 32,
+    max_batches: int = 20,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """ForestFireScore (``cpp/sparsification/ForestFireScore.cpp:21-94``):
+    repeatedly start fires at random nodes; an active node burns a
+    Geometric(pf)-distributed number of its not-yet-visited neighbors
+    (uniformly, without replacement), burnt nodes become active, and
+    fires restart until ``target_burnt_ratio · m`` edge-burns happened.
+    Edge score = burn count / max burn count.
+
+    Spark re-expression — a whole BATCH of fires advances per round:
+
+    - per active ``(fire, v)``, the geometric draw is
+      ``k = floor(ln u / ln pf)`` from a seeded md5 uniform, and the
+      "k uniform picks without replacement" equal the k smallest seeded
+      hash ranks over v's unvisited neighbors (row_number per
+      ``(fire, v)`` — partition width ≤ degree);
+    - simultaneous landings on one node collapse to the smallest-rank
+      edge (the reference's first-burn-marks-visited rule);
+    - fire batches double until the burn budget is met, so the driver
+      loop is O(log target) batches of O(fire-depth) rounds.
+
+    Documented divergences (stochastic scorer — the reference itself is
+    RNG- and thread-schedule-dependent): burning is synchronous per
+    frontier (the reference interleaves one global queue), fire start
+    nodes are a seeded hash shuffle without replacement per batch, and
+    all draws are md5-seeded so results are deterministic at any
+    parallelism. Invariants preserved: per fire each node is burnt via
+    at most one in-edge, per expansion neighbors burn without
+    replacement with Geometric(pf) counts, and scores are burn counts
+    normalized to max = 1.
+    """
+    from networkit_spark.operators.dedup import portable_hash32
+    from networkit_spark.plans.iterate import Materializer, local_cut
+    from pyspark.sql import Window
+
+    if not (0.0 <= pf < 1.0):
+        raise ValueError("pf must be in [0, 1)")
+    if target_burnt_ratio <= 0:
+        raise ValueError("target_burnt_ratio must be positive")
+    spark = graph.edges.sparkSession
+    mat = Materializer()
+    adj = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = adj.repartition(shuffle_parts, "src").persist()
+    m = graph.canonical().where(F.col("src") != F.col("dst")).count()
+    target = target_burnt_ratio * m
+    two32 = float(2**32)
+
+    def h01(*cols, salt):
+        return (
+            portable_hash32(F.concat_ws("|", *cols), salt).cast("double")
+            + 0.5
+        ) / two32
+
+    burnt_parts: list[DataFrame] = []
+    total_burnt = 0
+    fires_done = 0
+    batch_size = first_batch
+    for b in range(max_batches):
+        if total_burnt >= target:
+            break
+        starts = [
+            r["id"]
+            for r in graph.vertices.select(
+                "id", portable_hash32(F.col("id").cast("string"),
+                                      f"ffs{seed}b{b}").alias("h")
+            ).orderBy("h", "id").limit(batch_size).collect()
+        ]
+        frontier = spark.createDataFrame(
+            [(fires_done + i, s) for i, s in enumerate(starts)],
+            "fire long, id long",
+        )
+        frontier = mat.cut(0, frontier)
+        visited = frontier.limit(0)
+        batch_lands: list[DataFrame] = []
+        for rnd in range(1, max_rounds + 1):
+            if frontier.limit(1).count() == 0:
+                break
+            cand = (
+                adj.join(
+                    frontier.withColumnRenamed("id", "src").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
+                .join(
+                    visited.withColumnRenamed("id", "dst").withColumn(
+                        "seen", F.lit(True)
+                    ),
+                    ["fire", "dst"],
+                    "left",
+                )
+                .where(F.col("seen").isNull())
+                .select(
+                    "fire", F.col("src").alias("v"), F.col("dst").alias("x")
+                )
+            )
+            u = h01(F.col("fire"), F.col("v"), F.lit(rnd), salt=f"ffk{seed}")
+            k = (
+                F.floor(F.log(u) / F.log(F.lit(float(pf))))
+                if pf > 0
+                else F.lit(0)
+            )
+            r = h01(F.col("fire"), F.col("v"), F.col("x"), salt=f"ffr{seed}")
+            w_rank = Window.partitionBy("fire", "v").orderBy("r", "x")
+            sel = (
+                cand.select("fire", "v", "x", r.alias("r"), k.alias("k"))
+                .withColumn("rn", F.row_number().over(w_rank))
+                .where(F.col("rn") <= F.col("k"))
+            )
+            land = (
+                sel.groupBy("fire", "x")
+                .agg(F.min(F.struct("r", "v")).alias("p"))
+                .select("fire", F.col("p.v").alias("v"), "x")
+            )
+            land = mat.cut(rnd, land)
+            batch_lands.append(
+                land.select(
+                    F.least("v", "x").alias("u"),
+                    F.greatest("v", "x").alias("v"),
+                )
+            )
+            frontier = land.select("fire", F.col("x").alias("id"))
+            visited = mat.cut(
+                rnd, visited.unionAll(frontier).distinct()
+            )
+        else:
+            adj.unpersist()
+            raise RuntimeError(
+                f"a fire batch did not die out in {max_rounds} rounds"
+            )
+        if batch_lands:
+            batch_burnt = local_cut(_union_all(batch_lands))
+            total_burnt += batch_burnt.count()
+            burnt_parts.append(batch_burnt)
+        fires_done += batch_size
+        batch_size *= 2
+    else:
+        adj.unpersist()
+        raise RuntimeError(
+            f"burn target not reached in {max_batches} fire batches — "
+            "raise max_batches or first_batch"
+        )
+    adj.unpersist()
+
+    counts = (
+        _union_all(burnt_parts).groupBy("u", "v")
+        .agg(F.count("*").alias("cnt"))
+        if burnt_parts
+        else spark.createDataFrame([], "u long, v long, cnt long")
+    )
+    counts = local_cut(counts)
+    mx = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"] or 0
+    canon = graph.canonical().select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    denom = float(mx) if mx > 0 else 1.0
+    return canon.join(counts, ["u", "v"], "left").select(
+        "u", "v",
+        (F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(denom)).alias(
+            "score"
+        ),
+    )
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
