@@ -82,6 +82,7 @@ from networkit_spark.operators.biconnected import BiconnectedComponents
 from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
+from networkit_spark.operators.agglomerative import ParallelAgglomerativeClusterer
 from networkit_spark.operators.approxcloseness import ApproxCloseness
 from networkit_spark.operators.scd import GCE, PageRankNibble
 from networkit_spark.operators.randomization import (
@@ -151,6 +152,7 @@ __all__ = [
     "SpanningForest",
     "UnionMaximumSpanningForest",
     "EffectiveDiameterApproximation",
+    "ParallelAgglomerativeClusterer",
     "ParallelPartitionCoarsening",
     "PLM",
     "StronglyConnectedComponents",
