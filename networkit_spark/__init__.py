@@ -97,6 +97,11 @@ from networkit_spark.operators.distance import (
     NeighborhoodFunction,
     NeighborhoodFunctionApproximation,
 )
+from networkit_spark.operators.distance_extras import (
+    BidirectionalBFS,
+    BidirectionalDijkstra,
+    NeighborhoodFunctionHeuristic,
+)
 from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
 from networkit_spark.operators.dynkatz import DynKatzCentrality
@@ -137,6 +142,9 @@ __all__ = [
     "HopPlotApproximation",
     "NeighborhoodFunction",
     "NeighborhoodFunctionApproximation",
+    "BidirectionalBFS",
+    "BidirectionalDijkstra",
+    "NeighborhoodFunctionHeuristic",
     "GedWalk",
     "BiconnectedComponents",
     "Curveball",

@@ -1,94 +1,130 @@
-"""Eccentricity / NeighborhoodFunction / ANF hop-plot extensions
-(``cpp/distance/{Eccentricity,NeighborhoodFunction,
-NeighborhoodFunctionApproximation,HopPlotApproximation}.cpp``)."""
+"""Distance-module extras (``cpp/distance/{JaccardDistance,
+AdamicAdarDistance,GraphDistance,BidirectionalBFS,BidirectionalDijkstra,
+Volume,NeighborhoodFunctionHeuristic}.cpp``)."""
+
+import math
 
 import pytest
 
 from networkit_spark import Graph
-from networkit_spark.operators.distance import (
-    Eccentricity,
-    HopPlotApproximation,
-    NeighborhoodFunction,
-    NeighborhoodFunctionApproximation,
+from networkit_spark.operators.distance_extras import (
+    BidirectionalBFS,
+    BidirectionalDijkstra,
+    NeighborhoodFunctionHeuristic,
+    adamic_adar_distance_scores,
+    jaccard_distance_scores,
+    unweighted_distance,
+    volume,
+    volumes,
+    weighted_distance,
 )
 
+# K4 minus edge (2,3) plus pendant 4 on 0
+EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (0, 4)]
 
-@pytest.fixture(scope="module")
-def path5(spark):
-    # path 0-1-2-3-4
-    return Graph.from_edge_list(
-        spark, [(i, i + 1) for i in range(4)], directed=False
+
+def test_jaccard_distance(spark):
+    g = Graph.from_edge_list(spark, EDGES, directed=False)
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in jaccard_distance_scores(g).collect()
+    }
+    # edge (0,1): t=2 (common {2,3}), deg0=4, deg1=3 → 1 - 2/5
+    assert got[(0, 1)] == pytest.approx(1 - 2 / 5)
+    # edge (1,2): t=1 (0), deg1=3, deg2=2 → 1 - 1/4
+    assert got[(1, 2)] == pytest.approx(1 - 1 / 4)
+    # pendant edge (0,4): t=0 → 1.0
+    assert got[(0, 4)] == pytest.approx(1.0)
+
+
+def test_adamic_adar_distance(spark):
+    g = Graph.from_edge_list(spark, EDGES, directed=False)
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in adamic_adar_distance_scores(g).collect()
+    }
+    # edge (0,1): common {2,3}, deg2=deg3=2 → aa=2/log2 → 1/aa
+    assert got[(0, 1)] == pytest.approx(1 / (2 / math.log(2)))
+    # edge (1,2): common {0}, deg0=4 → 1/(1/log4) = log4
+    assert got[(1, 2)] == pytest.approx(math.log(4))
+    # pendant: no common neighbor → +inf (reference's 1/0)
+    assert math.isinf(got[(0, 4)])
+
+
+def test_graph_distance_wrappers(spark):
+    g = Graph.from_edge_list(
+        spark, [(0, 1, 2.0), (1, 2, 3.0), (0, 2, 10.0)],
+        directed=False, weighted=True,
     )
+    assert weighted_distance(g, 0, 2) == pytest.approx(5.0)
+    assert unweighted_distance(g, 0, 2) == pytest.approx(1.0)
 
 
-def test_eccentricity_path(path5):
-    ecc = {r["id"]: r["ecc"] for r in Eccentricity.frame(path5).collect()}
-    assert ecc == {0: 4, 1: 3, 2: 2, 3: 3, 4: 4}
+def test_bidirectional_bfs(spark):
+    path = [(i, i + 1) for i in range(10)]
+    g = Graph.from_edge_list(spark, path, directed=False)
+    assert BidirectionalBFS(g, 0, 10).run().get_distance() == 10.0
+    assert BidirectionalBFS(g, 3, 3).run().get_distance() == 0.0
+    assert BidirectionalBFS(g, 0, 1).run().get_distance() == 1.0
+    g2 = Graph.from_edge_list(spark, [(0, 1), (2, 3)], directed=False)
+    assert math.isinf(BidirectionalBFS(g2, 0, 3).run().get_distance())
 
 
-def test_eccentricity_get_value(path5):
-    farthest, ecc = Eccentricity.get_value(path5, 0)
-    assert (farthest, ecc) == (4, 4)
-    # middle node: both ends at distance 2 — smallest id wins the tie
-    farthest, ecc = Eccentricity.get_value(path5, 2)
-    assert (farthest, ecc) == (0, 2)
+def test_bidirectional_bfs_directed(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
+    assert BidirectionalBFS(g, 0, 2).run().get_distance() == 2.0
+    assert BidirectionalBFS(g, 2, 1).run().get_distance() == 2.0
 
 
-def test_neighborhood_function_path(path5):
-    nf = NeighborhoodFunction(path5).run().get_neighborhood_function()
-    # path of 5: dist-1 pairs 8 (ordered), dist-2 6, dist-3 4, dist-4 2
-    assert nf == [8, 14, 18, 20]
-
-
-def test_neighborhood_function_clique(spark):
+def test_bidirectional_dijkstra(spark):
     g = Graph.from_edge_list(
         spark,
-        [(i, j) for i in range(4) for j in range(i + 1, 4)],
-        directed=False,
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 5.0), (3, 4, 2.0)],
+        directed=False, weighted=True,
     )
-    nf = NeighborhoodFunction(g).run().get_neighborhood_function()
-    assert nf == [12]  # K4: all 12 ordered pairs at distance 1
+    assert BidirectionalDijkstra(g, 0, 4).run().get_distance() == pytest.approx(5.0)
+    assert BidirectionalDijkstra(g, 0, 3).run().get_distance() == pytest.approx(3.0)
+    g2 = Graph.from_edge_list(spark, [(0, 1, 1.0), (2, 3, 1.0)],
+                              directed=False, weighted=True)
+    assert math.isinf(BidirectionalDijkstra(g2, 0, 3).run().get_distance())
 
 
-def test_neighborhood_function_rejects_disconnected(spark):
-    g = Graph.from_edge_list(spark, [(0, 1), (2, 3)], directed=False)
+def test_volume_path_graph(spark):
+    # path 0-1-2-3-4, unit weights: every node's r=1 ball has size
+    # 2 (endpoints) or 3; sampling ALL nodes → exact average
+    g = Graph.from_edge_list(
+        spark, [(i, i + 1, 1.0) for i in range(4)],
+        directed=False, weighted=True,
+    )
+    v1 = volume(g, r=1.0, samples=5)
+    assert v1 == pytest.approx((2 + 3 + 3 + 3 + 2) / 5)
+    vs = volumes(g, [0.0, 1.0, 4.0], samples=5)
+    assert vs[0] == pytest.approx(1.0)
+    assert vs[1] == pytest.approx(v1)
+    assert vs[2] == pytest.approx(5.0)
+
+
+def test_neighborhood_function_heuristic(spark):
+    # cycle of 6: exact NF known; sampling all nodes → exact interior
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    algo = NeighborhoodFunctionHeuristic(g, n_samples=6).run()
+    nf = algo.get_neighborhood_function()
+    # diameter 3; endpoints pinned: N(1) = 2m = 12, N(3) = n(n-1) = 30
+    assert nf[0] == 12
+    assert nf[-1] == 30
+    assert nf == sorted(nf)  # monotone
+    # interior d=2: 12 + 12 pairs at distance exactly 2 = 24
+    assert nf[1] == 24
+
+
+def test_neighborhood_function_guards(spark):
+    gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
+    with pytest.raises(ValueError, match="undirected"):
+        NeighborhoodFunctionHeuristic(gd)
+    g2 = Graph.from_edge_list(spark, [(0, 1), (2, 3)], directed=False)
     with pytest.raises(RuntimeError, match="connected"):
-        NeighborhoodFunction(g).run()
-
-
-def test_neighborhood_function_rejects_directed(spark):
-    g = Graph.from_edge_list(spark, [(0, 1)], directed=True)
-    with pytest.raises(ValueError):
-        NeighborhoodFunction(g)
-
-
-def test_anf_approximation_tracks_exact(spark):
-    # ring of 32: exact NF known; ANF with k=64 trials should land within
-    # 25% at every hop (FM error ~1/sqrt(k))
-    n = 32
-    g = Graph.from_edge_list(
-        spark, [(i, (i + 1) % n) for i in range(n)], directed=False
-    )
-    exact = NeighborhoodFunction(g).run().get_neighborhood_function()
-    approx = (
-        NeighborhoodFunctionApproximation(g, k=64)
-        .run()
-        .get_neighborhood_function()
-    )
-    assert len(approx) >= len(exact)
-    for e, a in zip(exact, approx):
-        assert a == pytest.approx(e, rel=0.25)
-
-
-def test_hop_plot_monotone_and_terminal(spark):
-    n = 16
-    g = Graph.from_edge_list(
-        spark, [(i, (i + 1) % n) for i in range(n)], directed=False
-    )
-    plot = HopPlotApproximation(g, k=64).run().get_hop_plot()
-    assert plot[0] == pytest.approx(1.0 / n)
-    hops = sorted(plot)
-    vals = [plot[h] for h in hops]
-    assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
-    # fully propagated: last value ≈ 1 (connected ring)
-    assert vals[-1] == pytest.approx(1.0, rel=0.2)
+        NeighborhoodFunctionHeuristic(g2, n_samples=2).run()
+    g3 = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    with pytest.raises(ValueError, match="strategy"):
+        NeighborhoodFunctionHeuristic(g3, strategy="bogus")
