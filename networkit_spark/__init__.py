@@ -89,6 +89,7 @@ from networkit_spark.operators.randomization import (
     Curveball,
     DegreePreservingShuffle,
 )
+from networkit_spark.operators.cutclustering import CutClustering
 from networkit_spark.operators.flow import EdmondsKarp
 from networkit_spark.operators.independentset import Luby
 from networkit_spark.operators.distance import (
@@ -136,6 +137,7 @@ __all__ = [
     "DynConnectedComponents",
     "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
+    "CutClustering",
     "EdmondsKarp",
     "Luby",
     "Eccentricity",
