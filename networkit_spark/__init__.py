@@ -83,6 +83,10 @@ from networkit_spark.operators.kadabra import KadabraBetweenness
 from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
 from networkit_spark.operators.agglomerative import ParallelAgglomerativeClusterer
+from networkit_spark.operators.algebraic import (
+    CommuteTimeDistance,
+    SpanningEdgeCentrality,
+)
 from networkit_spark.operators.approxcloseness import ApproxCloseness
 from networkit_spark.operators.scd import GCE, PageRankNibble
 from networkit_spark.operators.randomization import (
@@ -137,6 +141,7 @@ __all__ = [
     "DynConnectedComponents",
     "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
+    "CommuteTimeDistance",
     "CutClustering",
     "EdmondsKarp",
     "Luby",
@@ -159,6 +164,7 @@ __all__ = [
     "PageRankNibble",
     "Node2Vec",
     "RandomMaximumSpanningForest",
+    "SpanningEdgeCentrality",
     "SpanningForest",
     "UnionMaximumSpanningForest",
     "EffectiveDiameterApproximation",
