@@ -89,6 +89,11 @@ from networkit_spark.operators.algebraic import (
 )
 from networkit_spark.operators.approxcloseness import ApproxCloseness
 from networkit_spark.operators.scd import GCE, PageRankNibble
+from networkit_spark.operators.reachability import (
+    AllSimplePaths,
+    ReachableNodes,
+)
+from networkit_spark.streaming.difference import GraphDifference
 from networkit_spark.operators.randomization import (
     Curveball,
     DegreePreservingShuffle,
@@ -153,7 +158,9 @@ __all__ = [
     "BidirectionalDijkstra",
     "NeighborhoodFunctionHeuristic",
     "GedWalk",
+    "GraphDifference",
     "BiconnectedComponents",
+    "AllSimplePaths",
     "Curveball",
     "DegreePreservingShuffle",
     "KadabraBetweenness",
@@ -176,6 +183,7 @@ __all__ = [
     "get_spark",
     "DegreeCentrality",
     "PageRank",
+    "ReachableNodes",
     "EigenvectorCentrality",
     "KatzCentrality",
     "ConnectedComponents",

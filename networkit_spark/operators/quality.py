@@ -524,3 +524,31 @@ def nmi(p1: DataFrame, p2: DataFrame) -> float:
     h2 = -sum((v / n) * math.log(v / n) for v in b.values())
     denom = math.sqrt(h1 * h2)
     return mi / denom if denom else 1.0
+
+
+def hashing_overlapper(
+    graph: Graph, partitions: list[DataFrame]
+) -> DataFrame:
+    """HashingOverlapper (``cpp/overlap/HashingOverlapper.cpp:13-82``):
+    combine partitions into their overlap (core) clustering by hashing
+    per-node label tuples. The reference uses djb2 over raw label bits
+    (two-partition case ``hash((l1^0xffff)<<16 | (l2^0xffff))``,
+    k-way case a sum of masked hashes) and accepts hash collisions;
+    here the label is a 64-bit ``xxhash64`` of the ordered label tuple
+    — same overlap semantics, different (and far rarer) collision
+    profile. :func:`partition_intersection` is the collision-free
+    equivalent with compacted labels.
+    """
+    if not partitions:
+        return graph.vertices.select("id", F.lit(0).cast("long").alias("label"))
+    if len(partitions) == 1:
+        return partitions[0].select("id", "label")
+    out = partitions[0].select("id", F.col("label").alias("l0"))
+    for i, p in enumerate(partitions[1:], start=1):
+        out = out.join(
+            p.select("id", F.col("label").alias(f"l{i}")), "id"
+        )
+    cols = [F.col(f"l{i}") for i in range(len(partitions))]
+    return out.select(
+        "id", F.xxhash64(*cols).alias("label")
+    )

@@ -749,3 +749,40 @@ def write_thrill_binary(graph: Graph, path: str) -> None:
             f.write(_thrill_varint(len(adj[u])))
             for v in adj[u]:
                 f.write(v.to_bytes(4, "little"))
+
+
+def write_dgs(events: DataFrame, path: str, order_col: str | None = None) -> None:
+    """``DGSWriter::write`` (``cpp/dynamics/DGSWriter.cpp:14-58``):
+    serialize an event frame ``(etype, u, v, w)`` as a DGS004 stream —
+    ``an``/``dn``/``ae``/``de``/``ce``/``ie``/``st`` lines with the
+    reference's exact tokens (``ae u-v u v weight=w``). Driver-side
+    like the other fixture writers; events are emitted in ``order_col``
+    order when given (e.g. the ``seq`` column ``read_dgs`` produces, or
+    ``GraphDifference``'s ``phase``)."""
+    df = events
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    rows = df.collect()
+    lines = ["DGS004", "noname 0 0"]
+    for r in rows:
+        t = r["etype"]
+        if t == "NODE_ADDITION":
+            lines.append(f"an {r['u']}")
+        elif t == "NODE_REMOVAL":
+            lines.append(f"dn {r['u']}")
+        elif t == "EDGE_ADDITION":
+            lines.append(
+                f"ae {r['u']}-{r['v']} {r['u']} {r['v']} weight={r['w']}"
+            )
+        elif t == "EDGE_REMOVAL":
+            lines.append(f"de {r['u']}-{r['v']}")
+        elif t == "EDGE_WEIGHT_UPDATE":
+            lines.append(f"ce {r['u']}-{r['v']} weight={r['w']}")
+        elif t == "EDGE_WEIGHT_INCREMENT":
+            lines.append(f"ie {r['u']}-{r['v']} weight={r['w']}")
+        elif t == "TIME_STEP":
+            lines.append("st")
+        else:
+            raise ValueError(f"unknown event type {t}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
