@@ -113,7 +113,7 @@ from networkit_spark.operators.distance_extras import (
     NeighborhoodFunctionHeuristic,
 )
 from networkit_spark.operators.gedwalk import GedWalk
-from networkit_spark.operators.dyndistance import DynAPSP, DynBFS
+from networkit_spark.operators.dyndistance import DynAPSP, DynBFS, DynDijkstra
 from networkit_spark.operators.dynkatz import DynKatzCentrality
 from networkit_spark.operators.dynbetweenness import DynApproxBetweenness
 
@@ -144,6 +144,7 @@ __all__ = [
     "DynApproxBetweenness",
     "DynBFS",
     "DynConnectedComponents",
+    "DynDijkstra",
     "DynKatzCentrality",
     "DynWeaklyConnectedComponents",
     "CommuteTimeDistance",

@@ -219,3 +219,108 @@ class DynAPSP(Algorithm):
             if changed == 0:
                 break
         self._dist = dist
+
+
+class DynDijkstra(Algorithm):
+    """Dynamic weighted SSSP — insert/decrease-incremental.
+
+    Reference: ``DynDijkstra`` (``cpp/distance/DynDijkstra.cpp:40-100``):
+    ``update`` accepts EDGE_ADDITION and EDGE_WEIGHT_UPDATE only (other
+    event types raise, ``DynDijkstra.cpp:61``) and relaxes from the
+    touched endpoints with a seeded priority queue — improvements only,
+    so only weight DECREASES take effect (the reference has the same
+    limitation, noted in its own TODO at ``DynDijkstra.cpp:63``).
+
+    Spark re-expression: the seed set is every edge direction whose
+    relaxation improves the stored distance; then the same weighted
+    relaxation rounds as :class:`~networkit_spark.operators.distance.
+    Dijkstra`, started from the seeds instead of the source — work is
+    proportional to the affected region, not the graph.
+    """
+
+    def __init__(self, graph: Graph, source: int) -> None:
+        super().__init__(graph)
+        self.source = source
+        self._dist: DataFrame | None = None
+
+    def _run(self) -> None:
+        from networkit_spark.operators.distance import Dijkstra
+
+        algo = Dijkstra(self.graph, self.source).run()
+        self._dist = local_cut(algo.distances())
+
+    def distances(self) -> DataFrame:
+        """``(id, dist)`` for reached nodes (``DynSSSP::getDistances``)."""
+        self.assure_finished()
+        return self._dist
+
+    def update(self, events: DataFrame) -> None:
+        """Apply an EDGE_ADDITION / EDGE_WEIGHT_UPDATE batch and relax."""
+        from networkit_spark.streaming.events import EDGE_WEIGHT_UPDATE
+
+        self.assure_finished()
+        others = events.where(
+            ~F.col("etype").isin(EDGE_ADDITION, EDGE_WEIGHT_UPDATE)
+        )
+        if bool(others.limit(1).count()):
+            raise RuntimeError("Graph update not allowed (DynDijkstra.cpp:61)")
+        new_graph = apply_events(self.graph, events)
+        g = new_graph
+        if g.edges.where(F.col("weight") < 0).limit(1).count():
+            raise ValueError("Dijkstra requires non-negative edge weights")
+        adj = (
+            (g.edges if g.directed else g.symmetrized())
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("weight").alias("w"))
+            .persist()
+        )
+        mat = Materializer()
+        dist = self._dist
+        touched = events.select("u", "v", "w")
+        if not g.directed:
+            touched = touched.unionAll(
+                touched.select(
+                    F.col("v").alias("u"), F.col("u").alias("v"), "w"
+                )
+            )
+        du = dist.select(F.col("id").alias("u"), F.col("dist").alias("du"))
+        dv = dist.select(F.col("id").alias("v"), F.col("dist").alias("dv"))
+        seed = (
+            touched.join(du, "u")
+            .join(dv, "v", "left")
+            .where(
+                F.col("dv").isNull() | (F.col("du") + F.col("w") < F.col("dv"))
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("du") + F.col("w")).alias("dist"))
+        )
+        it = 0
+        frontier = mat.cut(it, seed)
+        while bool(frontier.limit(1).count()):
+            dist = mat.cut(
+                it,
+                dist.unionAll(frontier)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist")),
+            )
+            it += 1
+            cand = (
+                adj.join(
+                    frontier.withColumnRenamed("id", "src").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            frontier = mat.cut(
+                it,
+                cand.join(dist, "id", "left")
+                .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                .select("id", F.col("nd").alias("dist")),
+            )
+        adj.unpersist()
+        self.graph = g
+        self._dist = dist

@@ -374,3 +374,43 @@ def test_dynkatz_equals_fresh_run(spark):
     bad = spark.createDataFrame([(ts, "EDGE_REMOVAL", 0, 1, 1.0)], EVENT_SCHEMA)
     with pytest.raises(RuntimeError):
         dyn.update(bad)
+
+
+def test_dyndijkstra_equals_fresh_run(spark):
+    import datetime
+
+    from networkit_spark.operators.distance import Dijkstra
+    from networkit_spark.operators.dyndistance import DynDijkstra
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    # weighted path; then insert a cheap shortcut and decrease a weight
+    g = Graph.from_edge_list(
+        spark,
+        [(0, 1, 2.0), (1, 2, 2.0), (2, 3, 2.0), (3, 4, 2.0)],
+        weighted=True,
+    )
+    dyn = DynDijkstra(g, source=0).run()
+    assert {r["id"]: r["dist"] for r in dyn.distances().collect()}[4] == 8.0
+
+    ts = datetime.datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (ts, "EDGE_ADDITION", 0, 3, 1.5),
+            (ts, "EDGE_WEIGHT_UPDATE", 3, 4, 0.5),
+        ],
+        EVENT_SCHEMA,
+    )
+    dyn.update(events)
+    got = {r["id"]: r["dist"] for r in dyn.distances().collect()}
+    want = {
+        r["id"]: r["dist"]
+        for r in Dijkstra(dyn.graph, 0).run().distances().collect()
+    }
+    assert got == want
+    assert got[3] == 1.5 and got[4] == 2.0
+
+    bad = spark.createDataFrame(
+        [(ts, "EDGE_REMOVAL", 0, 1, 1.0)], EVENT_SCHEMA
+    )
+    with pytest.raises(RuntimeError, match="not allowed"):
+        dyn.update(bad)
