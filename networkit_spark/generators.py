@@ -402,3 +402,209 @@ def lfr_like(
     ).select("src", "dst", F.lit(1.0).alias("weight"))
     g = Graph(edges, directed=False, vertices=ids)
     return g, members
+
+
+class PowerlawDegreeSequence:
+    """``cpp/generators/PowerlawDegreeSequence.cpp:9-190``: powerlaw
+    degree distribution P(d) ∝ d^gamma on [minDeg, maxDeg] with the
+    reference's fitting helpers. Driver-side utility (the table is
+    maxDeg−minDeg+1 entries); the drawn SEQUENCE is seeded and
+    reproducible, with the reference's even-sum fix (decrement one
+    maximum-degree entry, ``PowerlawDegreeSequence.cpp:180-182``)."""
+
+    def __init__(self, min_deg: int, max_deg: int, gamma: float) -> None:
+        if min_deg > max_deg:
+            raise ValueError("Error: minDeg must not be larger than maxDeg")
+        if gamma > -1:
+            raise ValueError("Error: gamma must be lower than -1")
+        self.min_deg = int(min_deg)
+        self.max_deg = int(max_deg)
+        self.gamma = float(gamma)
+        self._cum: list[float] | None = None
+
+    def run(self) -> "PowerlawDegreeSequence":
+        cum = []
+        s = 0.0
+        for d in range(self.max_deg, self.min_deg - 1, -1):
+            s += float(d) ** self.gamma
+            cum.append(s)
+        self._cum = [c / s for c in cum]
+        self._cum[-1] = 1.0
+        return self
+
+    def _assure(self) -> None:
+        if self._cum is None:
+            raise RuntimeError("call run() first")
+
+    def get_expected_average_degree(self) -> float:
+        self._assure()
+        prev = 0.0
+        avg = 0.0
+        for i, c in enumerate(self._cum):
+            avg += (c - prev) * (self.max_deg - i)
+            prev = c
+        return avg
+
+    def get_degree(self, u: float) -> int:
+        """Inverse-CDF draw for a uniform ``u`` in [0, 1)."""
+        self._assure()
+        import bisect
+
+        i = bisect.bisect_right(self._cum, u)
+        return self.max_deg - min(i, len(self._cum) - 1)
+
+    def get_degree_sequence(self, n: int, seed: int = 42) -> list[int]:
+        import hashlib
+
+        self._assure()
+        seq = []
+        for i in range(n):
+            h = hashlib.md5(f"pds{seed}:{i}".encode()).hexdigest()
+            seq.append(self.get_degree(int(h[:13], 16) / 16**13))
+        if sum(seq) % 2 != 0:
+            seq[seq.index(max(seq))] -= 1
+        return seq
+
+    def set_minimum_from_average_degree(self, avg: float) -> None:
+        """Binary search on minDeg (``PowerlawDegreeSequence.cpp:54-91``)."""
+        lo, hi = 1, self.max_deg
+        self.min_deg = lo
+        self.run()
+        if self.get_expected_average_degree() > avg:
+            raise ValueError("The average degree is too low")
+        if self.max_deg < avg:
+            raise ValueError(
+                "The average degree must not be higher than the maximum degree"
+            )
+        avg_l, avg_r = self.get_expected_average_degree(), float(self.max_deg)
+        while lo + 1 < hi:
+            self.min_deg = (lo + hi) // 2
+            self.run()
+            a = self.get_expected_average_degree()
+            if a > avg:
+                avg_r, hi = a, self.min_deg
+            else:
+                avg_l, lo = a, self.min_deg
+        self.min_deg = lo if avg - avg_l < avg_r - avg else hi
+        self._cum = None
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    n: int,
+    membership: list[int],
+    affinity: list[list[float]],
+    seed: int = 42,
+) -> Graph:
+    """``cpp/generators/StochasticBlockmodel.cpp``: undirected SBM —
+    pair (u, v) becomes an edge with probability
+    ``affinity[block(u)][block(v)]``. Membership ships as a broadcast
+    frame; the k×k affinity joins by block pair, so the generator is
+    one pair scan at any scale."""
+    if len(membership) != n:
+        raise ValueError("membership size must be n")
+    k = len(affinity)
+    for row in affinity:
+        if len(row) != k:
+            raise ValueError("affinity must be square")
+    mdf = spark.createDataFrame(
+        [(i, int(b)) for i, b in enumerate(membership)], "id long, block int"
+    )
+    adf = spark.createDataFrame(
+        [
+            (i, j, float(affinity[i][j]))
+            for i in range(k)
+            for j in range(k)
+        ],
+        "bu int, bv int, p double",
+    )
+    pairs = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("src"),
+        (F.col("id") % n).cast("long").alias("dst"),
+    ).where(F.col("src") < F.col("dst"))
+    edges = (
+        pairs.join(
+            F.broadcast(mdf.withColumnRenamed("id", "src").withColumnRenamed("block", "bu")),
+            "src",
+        )
+        .join(
+            F.broadcast(mdf.withColumnRenamed("id", "dst").withColumnRenamed("block", "bv")),
+            "dst",
+        )
+        .join(F.broadcast(adf), ["bu", "bv"])
+        .where(_unit_hash(F.col("src"), F.col("dst"), F.lit(seed)) < F.col("p"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(edges, directed=False, vertices=verts)
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> Graph:
+    """``cpp/generators/RegularRingLatticeGenerator.cpp``: every node
+    links to its k nearest neighbors on each side of the ring."""
+    if k < 1 or 2 * k >= n:
+        raise ValueError("need 1 <= k and 2k < n")
+    offs = spark.range(1, k + 1).select(F.col("id").alias("off"))
+    edges = (
+        spark.range(n)
+        .select(F.col("id").cast("long").alias("src"))
+        .crossJoin(F.broadcast(offs))
+        .select(
+            "src", ((F.col("src") + F.col("off")) % n).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(edges, directed=False, vertices=verts)
+
+
+def havel_hakimi(spark: SparkSession, degrees: list[int]) -> Graph:
+    """``cpp/generators/HavelHakimiGenerator.cpp``: realize an exact
+    degree sequence by the Havel–Hakimi greedy (highest-degree node
+    links to the next-highest ones). The greedy is inherently
+    sequential — driver-side like the reference, fixture scale; raises
+    when the sequence is not graphical (the reference logs and erases)."""
+    seq = sorted(
+        ((int(d), i) for i, d in enumerate(degrees)), reverse=True
+    )
+    if sum(d for d, _ in seq) % 2 != 0:
+        raise ValueError("degree sequence is not graphical (odd sum)")
+    edges = []
+    while seq and seq[0][0] > 0:
+        d, u = seq.pop(0)
+        if d > len(seq):
+            raise ValueError("degree sequence is not graphical")
+        for j in range(d):
+            dv, v = seq[j]
+            if dv == 0:
+                raise ValueError("degree sequence is not graphical")
+            edges.append((u, v, 1.0))
+            seq[j] = (dv - 1, v)
+        seq.sort(reverse=True)
+    verts = spark.range(len(degrees)).select(F.col("id").cast("long"))
+    edf = spark.createDataFrame(
+        edges or [], "src long, dst long, weight double"
+    )
+    return Graph(edf, directed=False, vertices=verts)
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
+    """``cpp/generators/DorogovtsevMendesGenerator.cpp``: start from a
+    triangle; every new node attaches to BOTH endpoints of a uniformly
+    chosen existing edge. The growth process is inherently sequential —
+    driver-side seeded loop like the reference (fixture scale)."""
+    if n < 3:
+        raise ValueError("need n >= 3")
+    import hashlib
+
+    edges = [(0, 1), (1, 2), (0, 2)]
+    for u in range(3, n):
+        h = hashlib.md5(f"dm{seed}:{u}".encode()).hexdigest()
+        a, b = edges[int(h[:13], 16) % len(edges)]
+        edges.append((a, u))
+        edges.append((b, u))
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    edf = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    return Graph(edf, directed=False, vertices=verts)
