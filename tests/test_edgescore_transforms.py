@@ -137,3 +137,60 @@ def test_approx_clustering_coefficients(spark):
     assert 0.0 <= a <= 1.0
     with pytest.raises(ValueError, match="trials"):
         et.approx_global_clustering(g, 0)
+
+
+def _brute_prefix_jaccard(edges, scores):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, {})[v] = scores[tuple(sorted((u, v)))]
+        adj.setdefault(v, {})[u] = scores[tuple(sorted((u, v)))]
+
+    def ranked(a):
+        nbrs = sorted(adj[a].items(), key=lambda p: -p[1])
+        out, rank, greater = {}, 0, 0
+        prev = None
+        for b, s in nbrs:
+            if prev is not None and s != prev:
+                rank = greater
+            out[b] = rank
+            greater += 1
+            prev = s
+        return out
+
+    res = {}
+    for u, v in edges:
+        ru = {w: r for w, r in ranked(u).items() if w != v}
+        rv = {w: r for w, r in ranked(v).items() if w != u}
+        best = 0.0
+        levels = sorted(set(ru.values()) | set(rv.values()))
+        for lvl in levels:
+            pu = {w for w, r in ru.items() if r <= lvl}
+            pv = {w for w, r in rv.items() if r <= lvl}
+            cn = len(pu & pv)
+            un = len(pu | pv)
+            if un:
+                best = max(best, cn / un)
+        res[tuple(sorted((u, v)))] = best
+    return res
+
+
+def test_prefix_jaccard(spark):
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4),
+             (4, 5), (0, 4)]
+    sc = {
+        (0, 1): 5.0, (0, 2): 4.0, (0, 3): 3.0, (1, 2): 5.0, (1, 3): 2.0,
+        (2, 3): 4.0, (3, 4): 1.0, (4, 5): 2.0, (0, 4): 2.0,
+    }
+    g = _g(spark, edges)
+    from networkit_spark.operators.edgescore_transforms import (
+        prefix_jaccard_scores,
+    )
+
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in prefix_jaccard_scores(g, _scores_df(spark, sc)).collect()
+    }
+    want = _brute_prefix_jaccard(edges, sc)
+    assert set(got) == set(want)
+    for e in want:
+        assert got[e] == pytest.approx(want[e]), e
