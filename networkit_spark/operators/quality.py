@@ -552,3 +552,23 @@ def hashing_overlapper(
     return out.select(
         "id", F.xxhash64(*cols).alias("label")
     )
+
+
+def dynamic_nmi_distance(
+    graph: Graph, old_partition: DataFrame, new_partition: DataFrame
+) -> float:
+    """DynamicNMIDistance (``cpp/community/DynamicNMIDistance.cpp:
+    28-110``): NMI dissimilarity (1 − NMI) between consecutive
+    clusterings of a dynamic graph, computed over the nodes of the NEW
+    graph that carry a label in BOTH partitions (``isInBoth``) — nodes
+    added or removed between snapshots are excluded. Normalization
+    follows this engine's :func:`nmi` (sqrt of entropies)."""
+    common = (
+        graph.vertices
+        .join(old_partition.select("id", F.col("label").alias("lo")), "id")
+        .join(new_partition.select("id", F.col("label").alias("ln")), "id")
+        .localCheckpoint()
+    )
+    p_old = common.select("id", F.col("lo").alias("label"))
+    p_new = common.select("id", F.col("ln").alias("label"))
+    return 1.0 - nmi(p_old, p_new)
