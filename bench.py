@@ -49,6 +49,12 @@ def bench_pagerank(spark, sf_dir: str) -> dict:
 
     g = directed_graph(spark, sf_dir)
     m = g.number_of_edges()
+    # One full-length warm pass (excluded from timing), mirroring
+    # bench_pagerank_scaled and scripts/scaling_bench.py: the first
+    # convergence run in a fresh JVM pays JIT/codegen compilation that a
+    # long-lived cluster job amortizes away (measured: run 1 is ~1.5-2x
+    # run 3 on identical plans).
+    _materialize(PageRank(g, damp=0.85, tol=1e-6, norm="l1").run().scores())
     walls, iters = [], 0
     for _ in range(N_RUNS):
         t0 = time.time()
