@@ -608,3 +608,390 @@ def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
         [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
     )
     return Graph(edf, directed=False, vertices=verts)
+
+
+# ---------------------------------------------------------------------------
+# Geometric generators (PubWeb / Mocnik) — grid-cell spatial joins
+# ---------------------------------------------------------------------------
+
+
+def _torus_sqdist(x1, y1, x2, y2):
+    """Squared distance on the unit torus, mirroring
+    ``PubWebGenerator::squaredDistanceInUnitTorus``
+    (``cpp/generators/PubWebGenerator.cpp:33-44``): each coordinate
+    delta wraps into [-0.5, 0.5] before squaring."""
+
+    def wrap(dz):
+        return (
+            F.when(dz > 0.5, 1.0 - dz)
+            .when(dz < -0.5, dz + 1.0)
+            .otherwise(dz)
+        )
+
+    dx = wrap(F.col(x1) - F.col(x2))
+    dy = wrap(F.col(y1) - F.col(y2))
+    return dx * dx + dy * dy
+
+
+def pub_web_points(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded PubWeb point distribution (``(id, x, y)`` on the unit
+    torus): ``num_dense_areas`` circular dense areas with anti-quadratic
+    radii holding ~``areas/(areas+2)`` of the mass, the rest uniform
+    background — the coordinate recipe of
+    ``PubWebGenerator::{chooseDenseAreaSizes,chooseClusterSizes,
+    fillDenseAreas,spreadRemainingNodes}``
+    (``cpp/generators/PubWebGenerator.cpp:105-143``) with hash-seeded
+    draws instead of the sequential Mersenne stream.
+
+    Area centers/radii/counts are O(areas) driver scalars; per-node
+    coordinates are pure column expressions over ``spark.range(n)``."""
+    import hashlib
+    import math
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def _u(tag: str) -> float:
+        h = hashlib.md5(f"pubweb{seed}:{tag}".encode()).hexdigest()
+        return int(h[:13], 16) / float(1 << 52)
+
+    max_rad, factor = 0.2, 5.0  # MAX_DENSE_AREA_RADIUS, MIN_MAX_DENSE_AREA_FACTOR
+    areas = []
+    for a in range(num_dense_areas):
+        f = _u(f"rad{a}") * factor + 1.0
+        areas.append(
+            {
+                "rad": max_rad * f * f / (factor * factor),
+                "x": _u(f"cx{a}"),
+                "y": _u(f"cy{a}"),
+            }
+        )
+    mass = sum(c["rad"] ** 1.5 for c in areas)
+    scale = (
+        (n * (num_dense_areas / (num_dense_areas + 2.0))) / mass
+        if mass > 0
+        else 0.0
+    )
+    for c in areas:
+        c["num"] = int(round(scale * c["rad"] ** 1.5))
+    # cumulative id ranges per area; ids past the areas are background.
+    # (Like the reference, rounding can overshoot n — then the graph has
+    # sum(num) nodes and no background points.)
+    lo = 0
+    for c in areas:
+        c["lo"], c["hi"] = lo, lo + c["num"]
+        lo += c["num"]
+    total = max(n, lo)
+
+    ids = spark.range(total).select(F.col("id").cast("long"))
+    u_ang = _unit_hash(F.col("id"), F.lit(seed), F.lit("ang"))
+    u_dst = _unit_hash(F.col("id"), F.lit(seed), F.lit("dst"))
+    two_pi = 2.0 * math.pi
+    x_expr = u_ang  # background default: uniform
+    y_expr = u_dst
+    for c in areas:
+        in_a = (F.col("id") >= c["lo"]) & (F.col("id") < c["hi"])
+        ax = c["x"] + F.cos(u_ang * two_pi) * (u_dst * c["rad"])
+        ay = c["y"] + F.sin(u_ang * two_pi) * (u_dst * c["rad"])
+        x_expr = F.when(in_a, ax).otherwise(x_expr)
+        y_expr = F.when(in_a, ay).otherwise(y_expr)
+
+    def into_unit(z):
+        # PubWebGenerator::intoUnitSquare — single ±1 wrap
+        return F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+
+    return ids.select(
+        "id", into_unit(x_expr).alias("x"), into_unit(y_expr).alias("y")
+    )
+
+
+def _torus_grid_pairs(pts: DataFrame, radius: float) -> DataFrame:
+    """Ordered candidate pairs at torus distance ≤ ``radius`` via a
+    grid-cell equi-join: the plane splits into ``nc×nc`` cells of width
+    ≥ radius, the right side replicates into its 3×3 wrapped neighbor
+    cells (deduped), and one hash join on the cell id yields every
+    qualifying ordered pair exactly once — no n² cross join, hub-free
+    shuffle keys. Returns ``(id, x, y, nbr_id, nbr_x, nbr_y, sqdist)``.
+    """
+    nc = max(1, int(1.0 / radius))
+    cell = lambda z: F.least(  # noqa: E731
+        F.lit(nc - 1), F.floor(F.col(z) * nc).cast("long")
+    )
+    home = pts.select(
+        "id", "x", "y", (cell("x") * nc + cell("y")).alias("c")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    repl = (
+        pts.select(
+            F.col("id").alias("nbr_id"),
+            F.col("x").alias("nbr_x"),
+            F.col("y").alias("nbr_y"),
+            cell("x").alias("cx"),
+            cell("y").alias("cy"),
+        )
+        .select(
+            "nbr_id",
+            "nbr_x",
+            "nbr_y",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            ((F.col("cx") + dx + nc) % nc) * nc
+                            + ((F.col("cy") + dy + nc) % nc)
+                            for dx, dy in offs
+                        ]
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    sq = _torus_sqdist("x", "y", "nbr_x", "nbr_y")
+    return (
+        home.join(repl, "c")
+        .where(F.col("id") != F.col("nbr_id"))
+        .select("id", "x", "y", "nbr_id", "nbr_x", "nbr_y", sq.alias("sqdist"))
+        .where(F.col("sqdist") <= radius * radius)
+    )
+
+
+def pub_web(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 12,
+    neighborhood_radius: float = 0.125,
+    max_neighbors: int = 16,
+    seed: int = 42,
+) -> Graph:
+    """PubWeb P2P-topology generator
+    (``cpp/generators/PubWebGenerator.cpp``,
+    ``include/networkit/generators/PubWebGenerator.hpp:20-43``;
+    Gehweiler & Meyerhenke HPGC'10, public model).
+
+    The reference's ``determineNeighbors`` (PubWebGenerator.cpp:47-87)
+    scans all n² pairs per node, pushes in-range pairs into a priority
+    queue, pops ``maxNeigh`` entries (the self pair, distance 0, always
+    occupies the first slot), and inserts an edge the SECOND time a
+    canonical pair is popped — i.e. an edge exists iff BOTH endpoints
+    rank it within their ``maxNeigh`` nearest in-range pairs (mutual
+    k-nearest-neighbors within the radius). Weight =
+    ``0.01 / sqdist`` (BASE_WEIGHT, PubWebGenerator.cpp:78).
+
+    Spark plan — the same edge set without the n² scan: grid-cell
+    spatial join for in-range ordered pairs (one equi-join), self rows
+    unioned in, per-anchor ``row_number`` over ``(sqdist, pair)`` keeps
+    the top ``max_neighbors``, and a count-2 aggregation on the
+    canonical pair realizes "popped by both endpoints". Divergences:
+    hash-seeded coordinates (not the sequential Mersenne stream), and
+    distance ties rank by canonical pair ascending where the
+    reference's max-heap pops the larger pair first — measure-zero for
+    continuous seeded coordinates."""
+    from pyspark.sql import Window
+
+    pts = pub_web_points(spark, n, num_dense_areas, seed).localCheckpoint()
+    cand = _torus_grid_pairs(pts, neighborhood_radius)
+    self_rows = pts.select(
+        "id",
+        "x",
+        "y",
+        F.col("id").alias("nbr_id"),
+        F.col("x").alias("nbr_x"),
+        F.col("y").alias("nbr_y"),
+        F.lit(0.0).alias("sqdist"),
+    )
+    ranked = (
+        cand.select("id", "nbr_id", "sqdist")
+        .unionAll(self_rows.select("id", "nbr_id", "sqdist"))
+        .withColumn("lo", F.least("id", "nbr_id"))
+        .withColumn("hi", F.greatest("id", "nbr_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("sqdist", "lo", "hi")
+            ),
+        )
+        .where((F.col("rk") <= max_neighbors) & (F.col("id") != F.col("nbr_id")))
+    )
+    edges = (
+        ranked.groupBy("lo", "hi")
+        .agg(F.count("*").alias("cnt"), F.first("sqdist").alias("sqdist"))
+        .where(F.col("cnt") == 2)
+        .select(
+            F.col("lo").alias("src"),
+            F.col("hi").alias("dst"),
+            (F.lit(0.01) / F.col("sqdist")).alias("weight"),
+        )
+    )
+    verts = pts.select("id")
+    return Graph(edges, directed=False, weighted=True, vertices=verts)
+
+
+def mocnik_points(
+    spark: SparkSession, n: int, dim: int = 2, seed: int = 42
+) -> DataFrame:
+    """Seeded uniform points in the d-ball of radius 0.5 around
+    (0.5, …, 0.5), rejection-sampled from the unit cube exactly like
+    ``MocnikGeneratorBasic::generate`` (MocnikGeneratorBasic.cpp:52-64)
+    — expressed as a fixed fan of 40 seeded attempts per id with the
+    first in-ball attempt winning (miss probability < 1e-25 per id at
+    d=2). Returns ``(id, x0, …, x{dim-1})``."""
+    attempts = 40
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    tries = ids.select(
+        "id",
+        F.explode(F.array(*[F.lit(t) for t in range(attempts)])).alias("t"),
+    )
+    coords = [
+        _unit_hash(F.col("id"), F.col("t"), F.lit(seed), F.lit(f"d{j}"))
+        for j in range(dim)
+    ]
+    sq_c = None
+    for c in coords:
+        term = (c - 0.5) * (c - 0.5)
+        sq_c = term if sq_c is None else sq_c + term
+    cand = tries.select(
+        "id",
+        "t",
+        *[c.alias(f"x{j}") for j, c in enumerate(coords)],
+        sq_c.alias("sq_center"),
+    ).where(F.col("sq_center") < 0.25)
+    first = cand.groupBy("id").agg(F.min("t").alias("t"))
+    return cand.join(first, ["id", "t"]).drop("t", "sq_center")
+
+
+def mocnik_basic(
+    spark: SparkSession,
+    n: int,
+    k: float = 2.5,
+    dim: int = 2,
+    seed: int = 42,
+) -> Graph:
+    """Mocnik spatial-network model, non-improved variant
+    (``cpp/generators/MocnikGeneratorBasic.cpp``,
+    ``include/networkit/generators/MocnikGeneratorBasic.hpp``; Mocnik
+    Sci. Rep. 2018, public model): n points uniform in the d-ball of
+    radius 0.5 around (0.5, …, 0.5) (rejection-sampled from the unit
+    cube), and a DIRECTED edge u→v for every v ≠ u with
+    ``dist(u, v) ≤ k · distMin(u)`` where distMin is u's
+    nearest-neighbor distance.
+
+    Rejection sampling is expressed as a fixed fan of seeded attempts
+    per id (first in-ball attempt wins — 40 attempts put the miss
+    probability below 1e-25 at d=2, raises loudly if any id misses);
+    distMin is a min-aggregation over the pair frame. The pair frame is
+    the arithmetic ``spark.range(n*n)`` decomposition (the model's edge
+    density is Θ(n) only after distMin thresholding; candidate
+    generation is quadratic in the reference too — its header calls
+    this the non-improved algorithm, fixture scale)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if k <= 1.0:
+        raise ValueError("k must be > 1 (MocnikGeneratorBasic.cpp:46)")
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    pts = mocnik_points(spark, n, dim, seed).localCheckpoint()
+    if pts.count() != n:
+        raise RuntimeError(
+            "mocnik_basic: rejection sampling missed for some id — "
+            "raise the attempt fan"
+        )
+    a = pts
+    b = pts.select(
+        F.col("id").alias("nbr_id"),
+        *[F.col(f"x{j}").alias(f"y{j}") for j in range(dim)],
+    )
+    pair_ids = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("id"),
+        (F.col("id") % n).cast("long").alias("nbr_id"),
+    ).where(F.col("id") != F.col("nbr_id"))
+    sq = None
+    for j in range(dim):
+        d = F.col(f"x{j}") - F.col(f"y{j}")
+        sq = d * d if sq is None else sq + d * d
+    pairs = (
+        pair_ids.join(a, "id")
+        .join(b, "nbr_id")
+        .select("id", "nbr_id", F.sqrt(sq).alias("dist"))
+    )
+    pairs = pairs.localCheckpoint()
+    dmin = pairs.groupBy("id").agg(F.min("dist").alias("dist_min"))
+    edges = (
+        pairs.join(dmin.hint("shuffle_hash"), "id")
+        .where(F.col("dist") <= k * F.col("dist_min"))
+        .select(
+            F.col("id").alias("src"),
+            F.col("nbr_id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return Graph(edges, directed=True, vertices=ids)
+
+
+def edge_switching_markov_chain(
+    spark: SparkSession,
+    degrees: list[int],
+    seed: int = 42,
+    swaps_per_edge: int = 10,
+) -> Graph:
+    """``cpp/generators/EdgeSwitchingMarkovChainGenerator.cpp``: realize
+    the exact degree sequence with Havel–Hakimi, then randomize by
+    ``10·m`` degree-biased edge switches (pick two endpoints
+    degree-proportionally, pick a random neighbor of each, swap the two
+    edges unless that would create a loop, duplicate, or existing
+    edge), giving up after ``2·10·m`` attempts like the reference.
+    The Markov chain is inherently sequential — driver-side seeded loop
+    like :func:`havel_hakimi` (fixture scale); draws come from an md5
+    stream instead of the reference's Mersenne twister (documented
+    divergence, same null-model distribution)."""
+    import hashlib
+
+    g_hh = havel_hakimi(spark, degrees)
+    rows = g_hh.edges.select("src", "dst").collect()
+    adj: dict[int, set[int]] = {i: set() for i in range(len(degrees))}
+    for r in rows:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    node_selection: list[int] = []
+    for u, d in enumerate(degrees):
+        node_selection.extend([u] * int(d))
+    m = len(rows)
+    needed, max_try = m * swaps_per_edge, m * swaps_per_edge * 2
+    performed = 0
+
+    def draw(tag: str, span: int) -> int:
+        h = hashlib.md5(f"esmc{seed}:{tag}".encode()).hexdigest()
+        return int(h[:13], 16) % span
+
+    att = 0
+    while att < max_try and performed < needed and node_selection:
+        att += 1
+        s1 = node_selection[draw(f"a{att}", len(node_selection))]
+        s2 = node_selection[draw(f"b{att}", len(node_selection))]
+        if s1 == s2 or not adj[s1] or not adj[s2]:
+            continue
+        n1 = sorted(adj[s1])
+        n2 = sorted(adj[s2])
+        t1 = n1[draw(f"c{att}", len(n1))]
+        t2 = n2[draw(f"d{att}", len(n2))]
+        if t1 == t2 or s1 == t2 or s2 == t1:
+            continue
+        if t2 in adj[s1] or t1 in adj[s2]:
+            continue
+        adj[s1].discard(t1), adj[t1].discard(s1)
+        adj[s2].discard(t2), adj[t2].discard(s2)
+        adj[s1].add(t2), adj[t2].add(s1)
+        adj[s2].add(t1), adj[t1].add(s2)
+        performed += 1
+
+    out = [
+        (u, v, 1.0) for u in adj for v in adj[u] if u < v
+    ]
+    verts = spark.range(len(degrees)).select(F.col("id").cast("long"))
+    edf = spark.createDataFrame(
+        out or [], "src long, dst long, weight double"
+    )
+    return Graph(edf, directed=False, vertices=verts)
