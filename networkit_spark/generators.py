@@ -558,32 +558,46 @@ def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> Graph:
     return Graph(edges, directed=False, vertices=verts)
 
 
+def _hh_edge_list(
+    degrees: list[int], ignore_if_unrealizable: bool = False
+) -> list[tuple[int, int]]:
+    """Havel–Hakimi greedy (highest-degree node links to the
+    next-highest ones). ``ignore_if_unrealizable`` mirrors the
+    reference's ``ignoreIfRealizable=true``
+    (``HavelHakimiGenerator.cpp:84-86``): when a node runs out of
+    candidates it keeps whatever edges it got instead of raising."""
+    seq = sorted(((int(d), i) for i, d in enumerate(degrees)), reverse=True)
+    if sum(d for d, _ in seq) % 2 != 0 and not ignore_if_unrealizable:
+        raise ValueError("degree sequence is not graphical (odd sum)")
+    edges: list[tuple[int, int]] = []
+    while seq and seq[0][0] > 0:
+        d, u = seq.pop(0)
+        take = 0
+        for j in range(min(d, len(seq))):
+            if seq[j][0] <= 0:
+                break
+            take += 1
+        if take < d and not ignore_if_unrealizable:
+            raise ValueError("degree sequence is not graphical")
+        for j in range(take):
+            dv, v = seq[j]
+            edges.append((u, v))
+            seq[j] = (dv - 1, v)
+        seq.sort(reverse=True)
+    return edges
+
+
 def havel_hakimi(spark: SparkSession, degrees: list[int]) -> Graph:
     """``cpp/generators/HavelHakimiGenerator.cpp``: realize an exact
     degree sequence by the Havel–Hakimi greedy (highest-degree node
     links to the next-highest ones). The greedy is inherently
     sequential — driver-side like the reference, fixture scale; raises
     when the sequence is not graphical (the reference logs and erases)."""
-    seq = sorted(
-        ((int(d), i) for i, d in enumerate(degrees)), reverse=True
-    )
-    if sum(d for d, _ in seq) % 2 != 0:
-        raise ValueError("degree sequence is not graphical (odd sum)")
-    edges = []
-    while seq and seq[0][0] > 0:
-        d, u = seq.pop(0)
-        if d > len(seq):
-            raise ValueError("degree sequence is not graphical")
-        for j in range(d):
-            dv, v = seq[j]
-            if dv == 0:
-                raise ValueError("degree sequence is not graphical")
-            edges.append((u, v, 1.0))
-            seq[j] = (dv - 1, v)
-        seq.sort(reverse=True)
+    edges = _hh_edge_list(degrees)
     verts = spark.range(len(degrees)).select(F.col("id").cast("long"))
     edf = spark.createDataFrame(
-        edges or [], "src long, dst long, weight double"
+        [(a, b, 1.0) for a, b in edges] or [],
+        "src long, dst long, weight double",
     )
     return Graph(edf, directed=False, vertices=verts)
 
@@ -947,23 +961,41 @@ def edge_switching_markov_chain(
     like :func:`havel_hakimi` (fixture scale); draws come from an md5
     stream instead of the reference's Mersenne twister (documented
     divergence, same null-model distribution)."""
+    adj = _esmc_adjacency(degrees, seed, swaps_per_edge=swaps_per_edge)
+    out = [(u, v, 1.0) for u in adj for v in adj[u] if u < v]
+    verts = spark.range(len(degrees)).select(F.col("id").cast("long"))
+    edf = spark.createDataFrame(
+        out or [], "src long, dst long, weight double"
+    )
+    return Graph(edf, directed=False, vertices=verts)
+
+
+def _esmc_adjacency(
+    degrees: list[int],
+    seed: int,
+    tag: str = "",
+    swaps_per_edge: int = 10,
+    ignore_if_unrealizable: bool = False,
+) -> dict[int, set[int]]:
+    """Pure-python EdgeSwitchingMarkovChain core: Havel–Hakimi start +
+    seeded degree-biased switches. Returns the undirected adjacency
+    (local node ids = positions in ``degrees``)."""
     import hashlib
 
-    g_hh = havel_hakimi(spark, degrees)
-    rows = g_hh.edges.select("src", "dst").collect()
+    hh = _hh_edge_list(degrees, ignore_if_unrealizable)
     adj: dict[int, set[int]] = {i: set() for i in range(len(degrees))}
-    for r in rows:
-        adj[r["src"]].add(r["dst"])
-        adj[r["dst"]].add(r["src"])
+    for a, b in hh:
+        adj[a].add(b)
+        adj[b].add(a)
     node_selection: list[int] = []
     for u, d in enumerate(degrees):
         node_selection.extend([u] * int(d))
-    m = len(rows)
+    m = len(hh)
     needed, max_try = m * swaps_per_edge, m * swaps_per_edge * 2
     performed = 0
 
-    def draw(tag: str, span: int) -> int:
-        h = hashlib.md5(f"esmc{seed}:{tag}".encode()).hexdigest()
+    def draw(sub: str, span: int) -> int:
+        h = hashlib.md5(f"esmc{seed}:{tag}{sub}".encode()).hexdigest()
         return int(h[:13], 16) % span
 
     att = 0
@@ -986,12 +1018,297 @@ def edge_switching_markov_chain(
         adj[s1].add(t2), adj[t2].add(s1)
         adj[s2].add(t1), adj[t1].add(s2)
         performed += 1
+    return adj
 
-    out = [
-        (u, v, 1.0) for u in adj for v in adj[u] if u < v
-    ]
-    verts = spark.range(len(degrees)).select(F.col("id").cast("long"))
-    edf = spark.createDataFrame(
-        out or [], "src long, dst long, weight double"
+
+class _Md5Stream:
+    """Deterministic uniform stream for the driver-side LFR loops."""
+
+    def __init__(self, seed: int, tag: str) -> None:
+        self._prefix = f"lfr{seed}:{tag}"
+        self._i = 0
+
+    def u(self) -> float:
+        import hashlib
+
+        self._i += 1
+        h = hashlib.md5(f"{self._prefix}:{self._i}".encode()).hexdigest()
+        return int(h[:13], 16) / float(1 << 52)
+
+    def index(self, n: int) -> int:
+        return min(int(self.u() * n), n - 1)
+
+    def shuffle(self, xs: list) -> None:
+        # Fisher-Yates with stream draws
+        for i in range(len(xs) - 1, 0, -1):
+            j = self.index(i + 1)
+            xs[i], xs[j] = xs[j], xs[i]
+
+
+def lfr(
+    spark: SparkSession,
+    n: int,
+    avg_degree: int = 8,
+    max_degree: int = 32,
+    degree_exponent: float = -2.0,
+    min_community: int = 10,
+    max_community: int = 50,
+    community_exponent: float = -1.0,
+    mu: float = 0.2,
+    seed: int = 42,
+) -> tuple[Graph, DataFrame]:
+    """LFR community benchmark with EXACT degree sequences
+    (``cpp/generators/LFRGenerator.cpp``,
+    ``include/networkit/generators/LFRGenerator.hpp:26``; Lancichinetti,
+    Fortunato & Radicchi 2008, public model), the reference's own
+    pipeline re-run driver-side at fixture scale:
+
+    1. powerlaw degree sequence with the minimum fitted to
+       ``avg_degree`` (``generatePowerlawDegreeSequence``);
+    2. powerlaw community sizes drawn until they fill n, the remainder
+       added to the smallest (``generatePowerlawCommunitySizeSequence``);
+    3. internal degrees ``(1-mu)·deg`` with probabilistic rounding and
+       an assured minimum of 1 (``setMu``; the reference rounds via
+       ``std::remainder`` whose sign quirk biases >0.5 fractions
+       downward — this implementation rounds to ceil with probability
+       equal to the fraction, documented divergence);
+    4. the reference's realizability checks (max/min internal degree vs
+       community sizes, sorted matching) — raises RuntimeError verbatim
+       when violated;
+    5. node→community assignment: random feasible placement with
+       eviction from full communities, merging the two smallest
+       communities and restarting when assignment thrashes
+       (``assignNodesToCommunities``);
+    6. per-community intra graphs via EdgeSwitchingMarkovChain with the
+       reference's odd-sum ±1 fix (``generateIntraClusterGraph``);
+    7. one global inter graph on the external degrees, intra-community
+       collisions rewired by seeded switches and dropped when
+       unswappable (``generateInterClusterGraph``).
+
+    All draws come from seeded md5 streams instead of the shared
+    Mersenne twister (documented divergence — same process, independent
+    randomness). Like :func:`havel_hakimi`, the construction is
+    inherently sequential and driver-side (fixture scale); the
+    distributed expected-degree variant for large fixtures is
+    :func:`lfr_like`.
+
+    Returns ``(Graph, ground_truth)`` with ground_truth ``(id, label)``.
+    """
+    if not (0.0 <= mu <= 1.0):
+        raise ValueError("mu must be in [0, 1]")
+    if max_degree >= n:
+        raise ValueError("The maximum degree must be smaller than the number of nodes")
+
+    # 1. degree sequence
+    pds = PowerlawDegreeSequence(1, max_degree, degree_exponent)
+    pds.set_minimum_from_average_degree(float(avg_degree))
+    pds.run()
+    degrees = pds.get_degree_sequence(n, seed=seed)
+
+    # 2. community size sequence
+    csd = PowerlawDegreeSequence(
+        min_community, max_community, community_exponent
+    ).run()
+    cstream = _Md5Stream(seed, "csize")
+    community_sizes: list[int] = []
+    total = 0
+    while True:
+        s = csd.get_degree(cstream.u())
+        if total + s <= n:
+            community_sizes.append(s)
+            total += s
+        else:
+            community_sizes[community_sizes.index(min(community_sizes))] += (
+                n - total
+            )
+            break
+
+    # 3. internal degrees
+    istream = _Md5Stream(seed, "intdeg")
+    internal = [0] * n
+    for u in range(n):
+        if degrees[u] == 0:
+            continue
+        int_deg = (1.0 - mu) * degrees[u]
+        if int_deg < 1.0:
+            internal[u] = 1
+        else:
+            frac = int_deg - int(int_deg)
+            internal[u] = int(int_deg) + (1 if istream.u() < frac else 0)
+
+    # 5. assignment (with the reference's merge-two-smallest retry);
+    # 4.'s realizability checks run inside the loop because merges
+    # change the community size sequence
+    astream = _Md5Stream(seed, "assign")
+    while True:
+        max_int, min_int = max(internal), min(internal)
+        if max_int >= max(community_sizes):
+            raise RuntimeError(
+                "Graph not realizable, the maximum internal degree is "
+                "greater than the largest possible internal degree."
+            )
+        if min_int >= min(community_sizes):
+            raise RuntimeError(
+                "Graph not realizable, no node can be placed in the "
+                "smallest community."
+            )
+        sorted_int = sorted(internal)
+        sorted_sizes = sorted(community_sizes)
+        ci, in_c = 0, 0
+        ok = True
+        for deg in sorted_int:
+            if in_c == sorted_sizes[ci]:
+                ci += 1
+                in_c = 0
+            if deg >= sorted_sizes[ci]:
+                ok = False
+                break
+            in_c += 1
+        if not ok:
+            raise RuntimeError(
+                "Graph not realizable, community sizes too small or "
+                "internal degrees too large"
+            )
+
+        community_selection: list[int] = []
+        for c, s in enumerate(community_sizes):
+            community_selection.extend([c] * s)
+        astream.shuffle(community_selection)
+        members: list[list[int]] = [[] for _ in community_sizes]
+        remaining = list(community_sizes)
+        to_assign: list[int] = []
+        for u in range(n):
+            c = community_selection[u]
+            if community_sizes[c] > internal[u]:
+                members[c].append(u)
+                remaining[c] -= 1
+            else:
+                to_assign.append(u)
+        attempts = 0
+        succeeded = True
+        while to_assign:
+            c = community_selection[astream.index(len(community_selection))]
+            i = astream.index(len(to_assign))
+            u = to_assign[i]
+            to_assign[i] = to_assign[-1]
+            to_assign.pop()
+            while internal[u] >= community_sizes[c]:
+                c = community_selection[
+                    astream.index(len(community_selection))
+                ]
+            members[c].append(u)
+            if remaining[c] > 0:
+                remaining[c] -= 1
+                attempts = 0
+            else:
+                r = astream.index(len(members[c]))
+                to_assign.append(members[c][r])
+                members[c][r] = members[c][-1]
+                members[c].pop()
+                attempts += 1
+            if attempts > 3 * n:
+                # merge the two smallest communities and restart
+                mi = community_sizes.index(min(community_sizes))
+                mv = community_sizes.pop(mi)
+                mj = community_sizes.index(min(community_sizes))
+                community_sizes[mj] += mv
+                succeeded = False
+                break
+        if succeeded:
+            break
+
+    label_of = {}
+    for c, ms in enumerate(members):
+        for u in ms:
+            label_of[u] = c
+
+    # 6. intra-cluster graphs (odd-sum fix + ESMC in ignore mode)
+    edges: set[tuple[int, int]] = set()
+    for c, ms in enumerate(members):
+        local = sorted(ms)
+        intra = [min(internal[u], len(local) - 1) for u in local]
+        fstream = _Md5Stream(seed, f"fix{c}")
+        guard = 0
+        while sum(intra) % 2 != 0 and guard < 4 * len(local):
+            guard += 1
+            i = fstream.index(len(local))
+            if fstream.u() >= 0.5:
+                if intra[i] < len(local) - 1 and intra[i] < degrees[local[i]]:
+                    intra[i] += 1
+                    internal[local[i]] += 1
+            else:
+                if intra[i] > 1:
+                    intra[i] -= 1
+                    internal[local[i]] -= 1
+        adj = _esmc_adjacency(
+            intra, seed, tag=f"intra{c}:", ignore_if_unrealizable=True
+        )
+        for a in adj:
+            for b in adj[a]:
+                if a < b:
+                    edges.add((local[a], local[b]))
+
+    # 7. inter-cluster graph on external degrees, intra collisions
+    # rewired then dropped
+    external = [max(0, degrees[u] - internal[u]) for u in range(n)]
+    iadj = _esmc_adjacency(
+        external, seed, tag="inter:", ignore_if_unrealizable=True
     )
-    return Graph(edf, directed=False, vertices=verts)
+    rstream = _Md5Stream(seed, "rewire")
+    to_remove = [
+        (a, b)
+        for a in iadj
+        for b in iadj[a]
+        if a < b and label_of[a] == label_of[b]
+    ]
+    node_selection = []
+    for u, d in enumerate(external):
+        node_selection.extend([u] * d)
+    m_inter = sum(len(s) for s in iadj.values()) // 2
+    max_attempts = m_inter * 10
+    tries = 0
+    while to_remove and tries <= max_attempts:
+        tries += 1
+        i = rstream.index(len(to_remove))
+        s1, t1 = to_remove[i]
+        if t1 not in iadj[s1]:
+            to_remove[i] = to_remove[-1]
+            to_remove.pop()
+            continue
+        if not node_selection:
+            break
+        s2 = node_selection[rstream.index(len(node_selection))]
+        if s2 == s1 or s2 == t1 or not iadj[s2]:
+            continue
+        n2 = sorted(iadj[s2])
+        t2 = n2[rstream.index(len(n2))]
+        if t1 == t2 or s1 == t2:
+            continue
+        if t2 in iadj[s1] or t1 in iadj[s2]:
+            continue
+        iadj[s1].discard(t1), iadj[t1].discard(s1)
+        iadj[s2].discard(t2), iadj[t2].discard(s2)
+        iadj[s1].add(t2), iadj[t2].add(s1)
+        iadj[s2].add(t1), iadj[t1].add(s2)
+        to_remove[i] = to_remove[-1]
+        to_remove.pop()
+        if label_of[s1] == label_of[t2]:
+            to_remove.append((min(s1, t2), max(s1, t2)))
+        if label_of[s2] == label_of[t1]:
+            to_remove.append((min(s2, t1), max(s2, t1)))
+    for a, b in to_remove:  # unswappable leftovers are dropped
+        iadj[a].discard(b), iadj[b].discard(a)
+    for a in iadj:
+        for b in iadj[a]:
+            if a < b:
+                edges.add((a, b))
+
+    verts = spark.range(n).select(F.col("id").cast("long"))
+    edf = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(edges)] or [],
+        "src long, dst long, weight double",
+    )
+    truth = spark.createDataFrame(
+        [(u, label_of[u]) for u in range(n)], "id long, label long"
+    )
+    return Graph(edf, directed=False, vertices=verts), truth
