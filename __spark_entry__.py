@@ -2711,16 +2711,33 @@ WHERE round(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6) >= {_MH_
 
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged signature family (one gated query): md5 fingerprint of
-    whitespace-normalized lowercase text for every document, plus the
-    32-bit SimHash for documents with non-empty text (NULL otherwise —
-    SimHash of an empty token stream is undefined)."""
-    from networkit_spark.operators.dedup import simhash
+    whitespace-normalized lowercase text for every document, the 32-bit
+    SimHash for documents with non-empty text (NULL otherwise — SimHash
+    of an empty token stream is undefined), and the duplicated-n-gram
+    corpus-quality stats (fraction of a doc's distinct 3-shingles seen
+    in other documents; NULL dup_frac for docs too short to shingle)."""
+    from networkit_spark.operators.dedup import (
+        duplicated_ngram_fraction,
+        simhash,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     fps = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
     sh = simhash(docs)
-    return fps.join(sh, "doc_id", "left").select("doc_id", "fingerprint", "simhash")
+    dng = duplicated_ngram_fraction(docs, k=3)
+    return (
+        fps.join(sh, "doc_id", "left")
+        .join(dng, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "simhash",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("dup_shingles", F.lit(0)).alias("dup_shingles"),
+            "dup_frac",
+        )
+    )
 
 
 def q_doc_signatures_sql() -> str:
@@ -2736,11 +2753,25 @@ WITH tokrow AS (
 ),
 th AS MATERIALIZED (SELECT doc_id, {_sql_hash32('tok', 'sh')} AS h FROM tokrow),
 agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
-sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
+sim AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg),
+{_SQL_SHINGLES},
+nd AS MATERIALIZED (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+dng AS (
+  SELECT s.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_shingles
+  FROM sh s JOIN nd USING (shingle) GROUP BY s.doc_id
+)
 SELECT d.doc_id,
        md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fingerprint,
-       sh.simhash
-FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+       sim.simhash,
+       coalesce(dng.n_shingles, 0) AS n_shingles,
+       coalesce(dng.dup_shingles, 0) AS dup_shingles,
+       CAST(dng.dup_shingles AS DOUBLE) / dng.n_shingles AS dup_frac
+FROM documents d
+LEFT JOIN sim ON d.doc_id = sim.doc_id
+LEFT JOIN dng ON d.doc_id = dng.doc_id
 """
 
 

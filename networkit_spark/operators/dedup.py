@@ -291,3 +291,46 @@ def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     """Popcount of xor — JVM-side via bin() + char counting."""
     x = a.bitwiseXOR(b)
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def duplicated_ngram_fraction(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_shingles, dup_shingles, dup_frac)`` — the fraction
+    of a document's DISTINCT k-shingles that occur in at least one
+    OTHER document. The standard duplicated-n-gram corpus-quality
+    metric of training-data pipelines (boilerplate and template
+    detection; Lee et al. 2022 "Deduplicating Training Data", public):
+    high ``dup_frac`` flags documents whose content is mostly shared.
+
+    Plan: one shingle explode (the MinHash recipe, whole-stage
+    codegen), one ``groupBy(shingle)`` count (map-side partial
+    aggregation absorbs boilerplate shingles before the exchange — the
+    same hub story as degree counting), one equi-join back, one per-doc
+    aggregation. Nothing is quadratic; shingle-frequency skew is
+    absorbed map-side. Documents with fewer than ``k`` tokens have no
+    shingles and are absent from the result (join+coalesce at the call
+    site)."""
+    sh = doc_shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(per_shingle, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "dup_shingles",
+            (
+                F.col("dup_shingles").cast("double") / F.col("n_shingles")
+            ).alias("dup_frac"),
+        )
+    )

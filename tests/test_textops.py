@@ -199,3 +199,38 @@ def test_topk_cosine_ivf_recall(vectors):
     for r in approx:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_duplicated_ngram_fraction(spark):
+    from networkit_spark.operators.dedup import duplicated_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share the shingle "a b c"; everything else is
+            # unique to its document
+            (0, "a b c d e"),     # shingles: "a b c", "b c d", "c d e"
+            (1, "x a b c y"),     # shingles: "x a b", "a b c", "b c y"
+            (2, "p q r"),         # shingle:  "p q r" (unique)
+            (3, "p q"),           # too short for k=3 — no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_shingles"], r["dup_frac"])
+        for r in duplicated_ngram_fraction(docs, k=3).collect()
+    }
+    assert got[0] == (3, 1, 1.0 / 3.0)
+    assert got[1] == (3, 1, 1.0 / 3.0)
+    assert got[2] == (1, 0, 0.0)
+    assert 3 not in got  # absent, not zero — caller joins+coalesces
+
+
+def test_duplicated_ngram_fraction_identical_docs(spark):
+    from networkit_spark.operators.dedup import duplicated_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(0, "the same text here"), (1, "the same text here")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_ngram_fraction(docs, k=3).collect()
+    assert all(r["dup_frac"] == 1.0 for r in rows)
