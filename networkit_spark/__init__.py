@@ -89,6 +89,7 @@ from networkit_spark.operators.algebraic import (
 )
 from networkit_spark.operators.approxcloseness import ApproxCloseness
 from networkit_spark.operators.scd import GCE, PageRankNibble
+from networkit_spark.operators.simulation import EpidemicSimulationSEIR
 from networkit_spark.operators.reachability import (
     AllSimplePaths,
     ReachableNodes,
@@ -176,6 +177,7 @@ __all__ = [
     "SpanningForest",
     "UnionMaximumSpanningForest",
     "EffectiveDiameterApproximation",
+    "EpidemicSimulationSEIR",
     "ParallelAgglomerativeClusterer",
     "ParallelPartitionCoarsening",
     "PLM",
