@@ -103,11 +103,14 @@ from networkit_spark.operators.cutclustering import CutClustering
 from networkit_spark.operators.flow import EdmondsKarp
 from networkit_spark.operators.independentset import Luby
 from networkit_spark.operators.distance import (
+    AffectedNodes,
     Eccentricity,
     HopPlotApproximation,
     NeighborhoodFunction,
     NeighborhoodFunctionApproximation,
+    ReverseBFS,
 )
+from networkit_spark.operators import graphtools
 from networkit_spark.operators.distance_extras import (
     BidirectionalBFS,
     BidirectionalDijkstra,
@@ -152,7 +155,10 @@ __all__ = [
     "CutClustering",
     "EdmondsKarp",
     "Luby",
+    "AffectedNodes",
     "Eccentricity",
+    "ReverseBFS",
+    "graphtools",
     "HopPlotApproximation",
     "NeighborhoodFunction",
     "NeighborhoodFunctionApproximation",

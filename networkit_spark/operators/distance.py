@@ -696,3 +696,274 @@ class HopPlotApproximation(Algorithm):
     def get_hop_plot(self) -> dict[int, float]:
         self.assure_finished()
         return dict(self._plot)
+
+
+class ReverseBFS(BFS):
+    """Hop distances following IN-edges (``cpp/distance/ReverseBFS.cpp``):
+    identical to :class:`BFS` on the transposed graph; on undirected
+    graphs the two coincide (the reference walks ``forInNeighborsOf``,
+    which is the same neighborhood there). Same plan as BFS — the
+    transpose is a projection swap, no extra shuffle."""
+
+    def _run(self) -> None:
+        base = self.graph.transpose() if self.graph.directed else self.graph
+        inner = BFS(base, self.source, self.max_hops).run()
+        self._dist = inner.distances()
+
+
+class AffectedNodes(Algorithm):
+    """Nodes whose shortest-path distances change under one edge event
+    (``cpp/distance/AffectedNodes.cpp:16-460``), plus the level-based
+    harmonic-closeness improvement bounds the reference derives for
+    insertions (used by its dynamic top-harmonic-closeness machinery).
+
+    Contract (the reference's usage contract): ``graph`` is the
+    CURRENT graph — for ``EDGE_ADDITION`` the event edge is already
+    present, for ``EDGE_REMOVAL`` already absent.
+
+    Spark re-expression: every ingredient is one of four batched BFS
+    runs (forward/reverse, with/without the event edge) over filtered
+    views of the edge table — the reference's pruned "affected" BFS
+    (``getAffectedNodes``, ``:393-437``) finds exactly the nodes whose
+    full-BFS distance strictly improved (an improved node's shortest
+    path runs through the event edge, so its predecessor is improved
+    too — the pruned frontier loses nobody), so affected sets are a
+    join of two distance frames, no custom traversal. The level
+    histograms behind the closeness/improvement formulas are
+    O(diameter)-row aggregates collected to the driver; the O(L²)
+    improvement table is driver-side arithmetic on those histograms,
+    exactly the reference's double loop (``:151-168``).
+
+    Outputs: :meth:`nodes` (affected ids), :meth:`distances`
+    ``(id, dist)`` — distance to the modification per affected node —
+    and for additions :meth:`improvements` ``(id, improvement)`` plus
+    the ``closeness_u`` / ``closeness_v`` scalars.
+    """
+
+    def __init__(self, graph: Graph, etype: str, u: int, v: int) -> None:
+        from networkit_spark.streaming.events import EDGE_ADDITION, EDGE_REMOVAL
+
+        if etype not in (EDGE_ADDITION, EDGE_REMOVAL):
+            raise ValueError(f"unsupported event type {etype!r}")
+        super().__init__(graph)
+        self.etype = etype
+        self.u, self.v = int(u), int(v)
+        self._nodes: DataFrame | None = None
+        self._distances: DataFrame | None = None
+        self._improvements: DataFrame | None = None
+        self.closeness_u: float = 0.0
+        self.closeness_v: float = 0.0
+
+    # -- helpers -----------------------------------------------------------
+    def _without_event_edge(self) -> Graph:
+        g, u, v = self.graph, self.u, self.v
+        if g.directed:
+            drop = (F.col("src") == u) & (F.col("dst") == v)
+        else:
+            drop = ((F.col("src") == u) & (F.col("dst") == v)) | (
+                (F.col("src") == v) & (F.col("dst") == u)
+            )
+        return Graph(
+            g.edges.where(~drop),
+            directed=g.directed,
+            weighted=g.weighted,
+            vertices=g.vertices,
+        )
+
+    def _with_event_edge(self) -> Graph:
+        g = self.graph
+        spark = g.edges.sparkSession
+        extra = spark.createDataFrame(
+            [(self.u, self.v, 1.0)], "src long, dst long, weight double"
+        )
+        return Graph(
+            g.edges.unionByName(extra),
+            directed=g.directed,
+            weighted=g.weighted,
+            vertices=g.vertices,
+        )
+
+    @staticmethod
+    def _dist(graph: Graph, source: int, reverse: bool = False) -> DataFrame:
+        algo = (ReverseBFS if reverse else BFS)(graph, source)
+        return algo.run().distances()
+
+    @staticmethod
+    def _hist(dist: DataFrame) -> dict[int, int]:
+        rows = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("c")).collect()
+        return {int(r["dist"]): int(r["c"]) for r in rows}
+
+    @staticmethod
+    def _improved(new: DataFrame, old: DataFrame) -> DataFrame:
+        """ids where the new distance strictly beats the old (absent old
+        = unreachable = +inf)."""
+        o = old.select("id", F.col("dist").alias("old_dist"))
+        return (
+            new.join(o, "id", "left")
+            .where(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("id")
+        )
+
+    @staticmethod
+    def _level_improvement(
+        hist_new: dict[int, int], hist_old: dict[int, int], levels_i: int
+    ) -> dict[int, float]:
+        """``levelImprovement[i] = Σ_j (new[j] − old[j]) / (i + j)``
+        (``AffectedNodes.cpp:151-168``). The reference bounds j by the
+        max NEW level — old-histogram mass at deeper levels is excluded,
+        reproduced exactly here."""
+        levels_j = max(hist_new, default=0)
+        out: dict[int, float] = {}
+        for i in range(1, levels_i + 1):
+            out[i] = sum(
+                (hist_new.get(j, 0) - hist_old.get(j, 0)) / float(i + j)
+                for j in range(1, levels_j + 1)
+            )
+        return out
+
+    @staticmethod
+    def _harmonic(hist: dict[int, int]) -> float:
+        return sum(c / float(i) for i, c in hist.items() if i >= 1)
+
+    def _lookup_join(
+        self, base: DataFrame, key_col: str, table: dict[int, float]
+    ) -> DataFrame:
+        spark = self.graph.edges.sparkSession
+        rows = [(int(k), float(val)) for k, val in table.items()]
+        lk = spark.createDataFrame(rows or [(-1, 0.0)], "k long, improvement double")
+        return (
+            base.join(F.broadcast(lk), base[key_col] == lk["k"], "left")
+            .na.fill({"improvement": 0.0})
+            .select("id", "improvement")
+        )
+
+    # -- run ---------------------------------------------------------------
+    def _run(self) -> None:
+        from networkit_spark.streaming.events import EDGE_ADDITION
+
+        if self.etype == EDGE_ADDITION:
+            self._added()
+        else:
+            self._removed()
+
+    def _added(self) -> None:
+        g, u, v = self.graph, self.u, self.v
+        g_old = self._without_event_edge()
+        if not g.directed:
+            old_u = self._dist(g_old, u).persist()
+            old_v = self._dist(g_old, v).persist()
+            new_u = self._dist(g, u).persist()
+            new_v = self._dist(g, v).persist()
+            aff_u = self._improved(new_u, old_u)
+            aff_v = self._improved(new_v, old_v)
+            # provably disjoint: improving toward u needs old_v+1 < old_u,
+            # toward v the reverse — both cannot hold
+            nodes = aff_u.unionAll(aff_v)
+            ou = old_u.select("id", F.col("dist").alias("du"))
+            ov = old_v.select("id", F.col("dist").alias("dv"))
+            self._distances = (
+                nodes.join(ou, "id", "left")
+                .join(ov, "id", "left")
+                .select("id", F.least("du", "dv").alias("dist"))
+            )
+            h_old_u, h_old_v = self._hist(old_u), self._hist(old_v)
+            h_new_u, h_new_v = self._hist(new_u), self._hist(new_v)
+            self.closeness_u = self._harmonic(h_new_u)
+            self.closeness_v = self._harmonic(h_new_v)
+            lvl_u = max(h_new_u, default=0)
+            lvl_v = max(h_new_v, default=0)
+            imp_u = self._level_improvement(h_new_v, h_old_v, lvl_u)
+            imp_v = self._level_improvement(h_new_u, h_old_u, lvl_v)
+            # improvements[w] = levelImprovementU[newDist_v(w)] for w
+            # affected toward u, and symmetrically (:170-177)
+            nv = new_v.select("id", F.col("dist").alias("key"))
+            nu = new_u.select("id", F.col("dist").alias("key"))
+            iu = self._lookup_join(aff_u.join(nv, "id", "left"), "key", imp_u)
+            iv = self._lookup_join(aff_v.join(nu, "id", "left"), "key", imp_v)
+            self._improvements = iu.unionAll(iv)
+            self._nodes = nodes
+            return
+        # directed insertion (:181-253): two reverse searches from v
+        # (old = skip the in-edge from u), forward pair from u for the
+        # closeness histograms
+        rev_new_u = self._dist(g, u, reverse=True)
+        rev_old_v = self._dist(g_old, v, reverse=True).persist()
+        rev_new_v = self._dist(g, v, reverse=True).persist()
+        aff = self._improved(rev_new_v, rev_old_v)
+        rov = rev_old_v.select("id", F.col("dist").alias("dv"))
+        rnu = rev_new_u.select("id", F.col("dist").alias("du"))
+        self._distances = (
+            aff.join(rov, "id", "left")
+            .join(rnu, "id", "left")
+            .select("id", F.least("dv", "du").alias("dist"))
+        )
+        fwd_old_u = self._dist(g_old, u)
+        fwd_new_u = self._dist(g, u)
+        h_old_fu, h_new_fu = self._hist(fwd_old_u), self._hist(fwd_new_u)
+        self.closeness_u = self._harmonic(h_new_fu)
+        lvl_v = max(self._hist(rev_new_v), default=0)
+        imp_v = self._level_improvement(h_new_fu, h_old_fu, lvl_v)
+        # improvements[w] = levelImprovementV[newDist_rev_v(w) − 1] (:248-251)
+        keyed = aff.join(
+            rev_new_v.select("id", (F.col("dist") - F.lit(1)).alias("key")),
+            "id",
+            "left",
+        )
+        self._improvements = self._lookup_join(keyed, "key", imp_v)
+        self._nodes = aff
+
+    def _removed(self) -> None:
+        g, u, v = self.graph, self.u, self.v
+        g_plus = self._with_event_edge()
+        spark = g.edges.sparkSession
+        if not g.directed:
+            cur_u = self._dist(g, u).persist()
+            cur_v = self._dist(g, v).persist()
+            plus_u = self._dist(g_plus, u)
+            plus_v = self._dist(g_plus, v)
+            # getAffectedNodes(·, ·, additionalStartNeighbor) seeds the
+            # opposite endpoint as affected unconditionally (:273-279)
+            seed_v = spark.createDataFrame([(v,)], "id long")
+            seed_u = spark.createDataFrame([(u,)], "id long")
+            aff_u = self._improved(plus_u, cur_u).unionAll(seed_v).distinct()
+            aff_v = self._improved(plus_v, cur_v).unionAll(seed_u).distinct()
+            nodes = aff_u.unionAll(aff_v).distinct()
+            cu = cur_u.select("id", F.col("dist").alias("du"))
+            cv = cur_v.select("id", F.col("dist").alias("dv"))
+            self._distances = (
+                nodes.join(cu, "id", "left")
+                .join(cv, "id", "left")
+                .select("id", F.least("du", "dv").alias("dist"))
+            )
+            self._nodes = nodes
+            return
+        rev_cur_v = self._dist(g, v, reverse=True).persist()
+        rev_plus_v = self._dist(g_plus, v, reverse=True)
+        seed_u = spark.createDataFrame([(u,)], "id long")
+        aff = self._improved(rev_plus_v, rev_cur_v).unionAll(seed_u).distinct()
+        self._distances = aff.join(
+            rev_cur_v.select("id", "dist"), "id", "left"
+        ).select("id", "dist")
+        self._nodes = aff
+
+    # -- accessors ----------------------------------------------------------
+    def nodes(self) -> DataFrame:
+        """Affected node ids (``getNodes``)."""
+        self.assure_finished()
+        return self._nodes
+
+    def distances(self) -> DataFrame:
+        """``(id, dist)`` — distance to the edge modification per
+        affected node (``getDistances``, restricted to affected nodes;
+        the reference's array holds ∞ elsewhere). ``dist`` is NULL when
+        the node was unreachable from both endpoints before the event."""
+        self.assure_finished()
+        return self._distances
+
+    def improvements(self) -> DataFrame:
+        """``(id, improvement)`` — harmonic-closeness improvement upper
+        bounds (``getImprovements``); insertions only."""
+        self.assure_finished()
+        if self._improvements is None:
+            raise RuntimeError("improvements are computed for EDGE_ADDITION only")
+        return self._improvements

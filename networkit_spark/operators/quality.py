@@ -251,6 +251,67 @@ def partition_hub_dominance(graph: Graph, labels: DataFrame) -> DataFrame:
     )
 
 
+def cover_hub_dominance(graph: Graph, cover: DataFrame) -> DataFrame:
+    """Per-cluster hub dominance over a COVER
+    (``CoverHubDominance.cpp:8-77``): a cover is a multi-membership
+    ``(id, label)`` frame. For each cluster c, ``maxInternalDeg`` = max
+    over members u of the number of neighbors v that also carry c;
+    dominance = that over ``size − 1`` (singletons score 1, the
+    reference's default). Unlike the partition variant one node
+    contributes to every cluster it belongs to, so the edge–label join
+    keys on ``(dst, label)`` instead of comparing two single labels.
+
+    Returns ``(label, size, max_internal_deg, dominance)``; the cover
+    branch of ``HubDominance.getQuality`` (``HubDominance.cpp:18-21``)
+    is the unweighted average, see :func:`hub_dominance`.
+    """
+    sym = graph.symmetrized()
+    c_src = cover.select(F.col("id").alias("src"), "label")
+    c_dst = cover.select(F.col("id").alias("dst"), "label")
+    internal = (
+        sym.select("src", "dst")
+        .join(c_src, "src")
+        .join(c_dst, ["dst", "label"])
+        .groupBy(F.col("src").alias("id"), "label")
+        .agg(F.count(F.lit(1)).alias("ideg"))
+        .groupBy("label")
+        .agg(F.max("ideg").alias("max_internal_deg"))
+    )
+    sizes = cover.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.join(internal, "label", "left")
+        .na.fill({"max_internal_deg": 0})
+        .select(
+            "label",
+            "size",
+            "max_internal_deg",
+            F.when(
+                F.col("size") > 1,
+                F.col("max_internal_deg") / (F.col("size") - 1),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("dominance"),
+        )
+    )
+
+
+def hub_dominance(
+    graph: Graph, labels: DataFrame, cover: bool = False
+) -> float:
+    """``HubDominance::getQuality`` (``HubDominance.cpp:12-21``): the
+    unweighted average per-cluster dominance, dispatching to the
+    partition (``PartitionHubDominance``) or cover
+    (``CoverHubDominance``) variant exactly like the reference's two
+    overloads."""
+    per = (
+        cover_hub_dominance(graph, labels)
+        if cover
+        else partition_hub_dominance(graph, labels)
+    )
+    row = per.agg(F.avg("dominance")).collect()[0][0]
+    return float(row) if row is not None else 0.0
+
+
 def partition_fragmentation(
     graph: Graph, labels: DataFrame, components: DataFrame
 ) -> DataFrame:
