@@ -71,3 +71,31 @@ class ParallelPartitionCoarsening(Algorithm):
         (``ParallelPartitionCoarsening::getFineToCoarseNodeMapping``)."""
         self.assure_finished()
         return self._mapping
+
+
+def project_back(fine_to_coarse: DataFrame, zeta_coarse: DataFrame) -> DataFrame:
+    """``ClusteringProjector::projectBack``
+    (``cpp/coarsening/ClusteringProjector.cpp:14-26``): assign every
+    fine node the cluster of its super-node — one hash join of the
+    ``(id, super)`` mapping against the coarse ``(id, label)``
+    partition. Returns the fine ``(id, label)`` frame."""
+    coarse = zeta_coarse.select(F.col("id").alias("super"), "label")
+    return fine_to_coarse.join(coarse, "super").select("id", "label")
+
+
+def project_back_to_finest(
+    zeta_coarse: DataFrame, maps: list[DataFrame]
+) -> DataFrame:
+    """``ClusteringProjector::projectBackToFinest``
+    (``ClusteringProjector.cpp:28-61``): compose the per-level
+    ``(id, super)`` mappings (finest → coarsest order, exactly the
+    reference's ``maps`` vector) into one finest→coarsest mapping with
+    a chain of hash joins, then project. With no levels the coarse
+    partition IS the finest one (the reference's early return)."""
+    if not maps:
+        return zeta_coarse.select("id", "label")
+    comp = maps[0].select("id", "super")
+    for m in maps[1:]:
+        nxt = m.select(F.col("id").alias("super"), F.col("super").alias("_up"))
+        comp = comp.join(nxt, "super").select("id", F.col("_up").alias("super"))
+    return project_back(comp, zeta_coarse)

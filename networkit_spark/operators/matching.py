@@ -140,3 +140,98 @@ class LocalMaxMatcher(Algorithm):
     def number_of_rounds(self) -> int:
         self.assure_finished()
         return self._rounds
+
+
+class PathGrowingMatcher(Algorithm):
+    """Path-growing ½-approximate weighted matching
+    (``cpp/matching/PathGrowingMatcher.cpp:25-152``, Drake & Hougardy):
+    repeatedly grow a path from the highest-degree alive vertex along
+    the heaviest alive incident edge, alternately assigning edges to
+    two matchings, and return the heavier one.
+
+    The algorithm is a single sequential path walk over shared mutable
+    degree state — inherently order-dependent, so (like the exact-LFR
+    generator) it runs DRIVER-SIDE at fixture scale, guarded by an
+    edge-count ceiling; :class:`LocalMaxMatcher` is the same-guarantee
+    (½-approx) distributed path for engine-scale graphs.
+
+    Documented divergences from the reference's unpinned internals:
+    ties inside its BucketPQ bucket (same degree) and among equal-weight
+    neighbors follow container order there; here both break to the
+    smallest node id, making runs reproducible. Self-loops raise, as in
+    the reference ctor.
+    """
+
+    _MAX_DRIVER_EDGES = 2_000_000
+
+    def __init__(self, graph: Graph) -> None:
+        if graph.directed:
+            raise ValueError("matching is defined on undirected graphs")
+        super().__init__(graph)
+        self._matching: list[tuple[int, int]] | None = None
+        self._weight = 0.0
+
+    def _run(self) -> None:
+        g = self.graph
+        if g.number_of_self_loops() > 0:
+            raise ValueError("G has self-loops and cannot be processed")
+        m = g.number_of_edges()
+        if m > self._MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"PathGrowingMatcher is a sequential fixture-scale "
+                f"algorithm ({m} edges > {self._MAX_DRIVER_EDGES}); use "
+                "LocalMaxMatcher for engine-scale matching"
+            )
+        adj: dict[int, dict[int, float]] = {}
+        for r in g.canonical().collect():
+            u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+            adj.setdefault(u, {})[v] = w
+            adj.setdefault(v, {})[u] = w
+        degrees = {u: len(nb) for u, nb in adj.items()}
+        alive = {u for u, d in degrees.items() if d > 0}
+        # count from the deduped adjacency, not the raw edge frame —
+        # multi-edges collapse in the dict and must not inflate the
+        # termination counter
+        num_edges = sum(degrees.values()) // 2
+        m1: list[tuple[int, int]] = []
+        m2: list[tuple[int, int]] = []
+        take_m1 = True
+        while num_edges > 0:
+            # highest alive degree, tie → smallest id (BucketPQ extractMin
+            # on key = −degree)
+            v = min(alive, key=lambda u: (-degrees[u], u))
+            while degrees[v] > 0:
+                # heaviest alive neighbor; strict > over ascending ids
+                # keeps the smallest id among ties (documented rule)
+                best_n, best_w = None, float("-inf")
+                for u, w in sorted(adj[v].items()):
+                    if u in alive and w > best_w:
+                        best_n, best_w = u, w
+                (m1 if take_m1 else m2).append((v, best_n))
+                take_m1 = not take_m1
+                for u in list(adj[v]):
+                    if u in alive:
+                        degrees[u] -= 1
+                        num_edges -= 1
+                        if degrees[u] == 0:
+                            alive.discard(u)
+                alive.discard(v)
+                v = best_n
+        def weight(match):
+            return sum(adj[a][b] for a, b in match)
+        w1, w2 = weight(m1), weight(m2)
+        self._matching = m1 if w1 > w2 else m2
+        self._weight = max(w1, w2)
+
+    def get_matching(self) -> DataFrame:
+        """``(u, v)`` matched pairs (u < v), like ``Matcher::getMatching``."""
+        self.assure_finished()
+        spark = self.graph.edges.sparkSession
+        rows = [(min(a, b), max(a, b)) for a, b in self._matching]
+        df = spark.createDataFrame(rows or [(0, 0)], "u long, v long")
+        return df.where(F.lit(bool(rows)))
+
+    def matching_weight(self) -> float:
+        """``Matching::weight``."""
+        self.assure_finished()
+        return self._weight

@@ -363,3 +363,90 @@ class UnionMaximumSpanningForest(Algorithm):
             ).limit(1).count()
             > 0
         )
+
+
+class RandomSpanningForest(Algorithm):
+    """Uniformly random spanning forest via random walk
+    (``cpp/components/RandomSpanningForest.cpp:19-51``): per connected
+    component, walk from a random root; each first-entry edge joins the
+    forest (Aldous–Broder — the resulting tree is uniform over the
+    component's spanning trees).
+
+    The walk is one sequential token over shared visited state —
+    inherently unparallelizable — so (like the exact-LFR generator and
+    :class:`~networkit_spark.operators.matching.PathGrowingMatcher`) it
+    runs DRIVER-SIDE at fixture scale behind an edge-count ceiling.
+    Engine-scale alternatives already in-tree: :class:`SpanningForest`
+    (deterministic Borůvka) and :class:`RandomMaximumSpanningForest`
+    (seeded random edge ORDER — random but not uniform over trees).
+    Seeded and reproducible; the reference draws from its global URNG.
+    """
+
+    _MAX_DRIVER_EDGES = 2_000_000
+
+    def __init__(self, graph: Graph, seed: int = 42) -> None:
+        if graph.directed:
+            raise ValueError("spanning forests are defined on undirected graphs")
+        super().__init__(graph)
+        self.seed = seed
+        self._forest: list[tuple[int, int]] | None = None
+
+    def _run(self) -> None:
+        import random
+
+        g = self.graph
+        m = g.number_of_edges()
+        if m > self._MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"RandomSpanningForest is a sequential random-walk "
+                f"algorithm ({m} edges > {self._MAX_DRIVER_EDGES}); use "
+                "SpanningForest for engine-scale forests"
+            )
+        rng = random.Random(self.seed)
+        adj: dict[int, list[int]] = {}
+        for r in g.canonical().where(F.col("src") != F.col("dst")).collect():
+            u, v = int(r["src"]), int(r["dst"])
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        for nbrs in adj.values():
+            nbrs.sort()
+        nodes = sorted(int(r["id"]) for r in g.vertices.collect())
+        # components driver-side (the reference runs ConnectedComponents)
+        seen: set[int] = set()
+        comps: list[list[int]] = []
+        for s in nodes:
+            if s in seen or s not in adj:
+                if s not in adj and s not in seen:
+                    seen.add(s)  # isolated vertex: empty tree
+                continue
+            stack, comp = [s], []
+            seen.add(s)
+            while stack:
+                x = stack.pop()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            comps.append(sorted(comp))
+        forest: list[tuple[int, int]] = []
+        for comp in comps:
+            root = comp[rng.randint(0, len(comp) - 1)]
+            visited = {root}
+            curr = root
+            while len(visited) < len(comp):
+                neigh = adj[curr][rng.randint(0, len(adj[curr]) - 1)]
+                if neigh not in visited:
+                    forest.append((min(curr, neigh), max(curr, neigh)))
+                    visited.add(neigh)
+                curr = neigh
+        self._forest = forest
+
+    def get_forest(self) -> DataFrame:
+        """``(src, dst)`` tree edges (canonical src < dst), one tree per
+        component (``SpanningForest::getForest`` view)."""
+        self.assure_finished()
+        spark = self.graph.edges.sparkSession
+        rows = self._forest
+        df = spark.createDataFrame(rows or [(0, 0)], "src long, dst long")
+        return df.where(F.lit(bool(rows)))

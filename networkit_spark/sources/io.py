@@ -786,3 +786,494 @@ def write_dgs(events: DataFrame, path: str, order_col: str | None = None) -> Non
             raise ValueError(f"unknown event type {t}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# ------------------------------------------------------- partition/cover IO
+# Text and binary partition/cover interop formats (reference `cpp/io/`).
+# Same contract as the other fixture formats above: single files written
+# and parsed driver-side (they exist to exchange SMALL labelings with
+# other tools), with Spark frames on the engine side; the native
+# engine-scale labeling form stays parquet (write_partition).
+
+_NONE_SENTINEL = (1 << 64) - 1  # NetworKit's `none` (max index)
+
+
+def _guard_fixture_rows(df: DataFrame, fmt: str) -> None:
+    n = df.count()
+    if n > FIXTURE_WRITER_MAX_EDGES:
+        raise ValueError(
+            f"{fmt} writer collects to the driver and is for fixture "
+            f"interop only: {n} rows > {FIXTURE_WRITER_MAX_EDGES}. "
+            "Persist engine-scale labelings as parquet (write_partition)."
+        )
+
+
+def read_partition_text(spark: SparkSession, path: str) -> DataFrame:
+    """``PartitionReader`` (``cpp/io/PartitionReader.cpp:12-37``): line i
+    holds the cluster id of node i; ``*``/``#`` lines skipped. Returns
+    ``(id, label)``."""
+    labels = []
+    i = 0
+    with open(path) as f:
+        for line in f:
+            if line[:1] in ("*", "#"):
+                continue
+            labels.append((i, int(line.strip() or 0)))
+            i += 1
+    return spark.createDataFrame(labels or [(0, 0)], "id long, label long").where(
+        F.lit(bool(labels))
+    )
+
+
+def write_partition_text(labels: DataFrame, path: str) -> None:
+    """``PartitionWriter`` (``include/networkit/io/PartitionWriter.hpp:26-29``):
+    one cluster id per line in node-id order. Node ids must be dense
+    0..n−1 (the format has no id column)."""
+    _guard_fixture_rows(labels, "PartitionWriter")
+    rows = labels.select("id", "label").orderBy("id").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['label']}\n")
+
+
+def read_edge_list_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = " "
+) -> DataFrame:
+    """``EdgeListPartitionReader`` (``cpp/io/EdgeListPartitionReader.cpp:
+    16-44``): ``v<sep>c`` lines, node ids offset by ``first_node``,
+    ``#`` comments skipped. Nodes the file never names are absent here
+    (the reference back-fills them with the ``none`` sentinel)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(sep)
+            if not parts or parts[0] == "#" or not parts[0]:
+                continue
+            out.append((int(parts[0]) - first_node, int(parts[1])))
+    return spark.createDataFrame(out or [(0, 0)], "id long, label long").where(
+        F.lit(bool(out))
+    )
+
+
+def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> DataFrame:
+    """``BinaryPartitionReader`` (``cpp/io/BinaryPartitionReader.cpp:
+    13-48``): little-endian fixed-``width`` (4 or 8) cluster ids, node
+    id = record position. The ``none`` sentinel (all-ones) maps to NULL."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    import os as _os
+
+    if _os.path.getsize(path) % width:
+        raise ValueError("length of partition file must be a multiple of the width")
+    import numpy as _np
+
+    raw = _np.fromfile(path, dtype="<u4" if width == 4 else "<u8")
+    sentinel = (1 << (8 * width)) - 1
+    rows = [
+        (i, None if int(p) == sentinel else int(p)) for i, p in enumerate(raw)
+    ]
+    return spark.createDataFrame(rows or [(0, 0)], "id long, label long").where(
+        F.lit(bool(rows))
+    )
+
+
+def write_binary_partition(labels: DataFrame, path: str, width: int = 8) -> None:
+    """``BinaryPartitionWriter`` (``cpp/io/BinaryPartitionWriter.cpp:
+    13-30``): cluster ids as little-endian ``width``-byte integers in
+    node-id order; width-4 overflow raises like the reference."""
+    if width not in (4, 8):
+        raise ValueError("Only width 4 and 8 are supported")
+    _guard_fixture_rows(labels, "BinaryPartitionWriter")
+    import numpy as _np
+
+    rows = labels.select("id", "label").orderBy("id").collect()
+    vals = [(_NONE_SENTINEL if r["label"] is None else int(r["label"])) for r in rows]
+    if width == 4:
+        if any(v > 0xFFFFFFFF and v != _NONE_SENTINEL for v in vals):
+            raise ValueError(
+                "upper bound cannot be represented by width 4; use width 8"
+            )
+        arr = _np.array([v & 0xFFFFFFFF for v in vals], dtype="<u4")
+    else:
+        arr = _np.array(vals, dtype="<u8")
+    arr.tofile(path)
+
+
+def read_binary_edge_list_partition(
+    spark: SparkSession,
+    paths: str | list[str],
+    first_node: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """``BinaryEdgeListPartitionReader`` (``cpp/io/
+    BinaryEdgeListPartitionReader.cpp:17-80``): a stream of
+    ``(node, cluster)`` little-endian fixed-width pairs, possibly split
+    across several files (read in order)."""
+    if width not in (4, 8):
+        raise ValueError("width must be 4 or 8")
+    import numpy as _np
+
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[tuple[int, int]] = []
+    for p in paths:
+        raw = _np.fromfile(p, dtype="<u4" if width == 4 else "<u8")
+        if len(raw) % 2:
+            raise ValueError(f"odd number of values in {p}")
+        for u, c in raw.reshape(-1, 2):
+            if int(u) < first_node:
+                raise ValueError("node smaller than the given firstNode found")
+            out.append((int(u) - first_node, int(c)))
+    return spark.createDataFrame(out or [(0, 0)], "id long, label long").where(
+        F.lit(bool(out))
+    )
+
+
+def write_binary_edge_list_partition(
+    labels: DataFrame, path: str, first_node: int = 0, width: int = 8
+) -> None:
+    """``BinaryEdgeListPartitionWriter``: ``(node+first_node, cluster)``
+    little-endian pairs in node order."""
+    if width not in (4, 8):
+        raise ValueError("width must be 4 or 8")
+    _guard_fixture_rows(labels, "BinaryEdgeListPartitionWriter")
+    import numpy as _np
+
+    rows = labels.select("id", "label").orderBy("id").collect()
+    flat: list[int] = []
+    for r in rows:
+        flat.append(int(r["id"]) + first_node)
+        flat.append(_NONE_SENTINEL if r["label"] is None else int(r["label"]))
+    arr = _np.array(flat, dtype="<u4" if width == 4 else "<u8")
+    arr.tofile(path)
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """``CoverReader`` (``cpp/io/CoverReader.cpp:10-33``): non-comment
+    line i lists the member node ids of cluster i. Returns the
+    multi-membership ``(id, label)`` cover frame."""
+    rows = []
+    c = 0
+    with open(path) as f:
+        for line in f:
+            if line[:1] == "#":
+                continue
+            for tok in line.split():
+                rows.append((int(tok), c))
+            c += 1
+    return spark.createDataFrame(rows or [(0, 0)], "id long, label long").where(
+        F.lit(bool(rows))
+    )
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """``CoverWriter`` (``cpp/io/CoverWriter.cpp:9-26``): one line per
+    cluster (ascending label), members space-separated."""
+    _guard_fixture_rows(cover, "CoverWriter")
+    rows = cover.select("label", "id").orderBy("label", "id").collect()
+    clusters: dict[int, list[int]] = {}
+    for r in rows:
+        clusters.setdefault(int(r["label"]), []).append(int(r["id"]))
+    hi = max(clusters, default=-1)
+    with open(path, "w") as f:
+        for c in range(hi + 1):
+            f.write(" ".join(str(v) for v in clusters.get(c, [])) + " \n")
+
+
+def read_edge_list_cover(
+    spark: SparkSession, path: str, first_node: int = 1
+) -> DataFrame:
+    """``EdgeListCoverReader`` (``cpp/io/EdgeListCoverReader.cpp:12-47``):
+    each line ``v c1 c2 ...`` lists the clusters of node v (ids offset
+    by ``first_node``)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] == "#" or line[:1] == "#":
+                continue
+            v = int(parts[0]) - first_node
+            for c in parts[1:]:
+                rows.append((v, int(c)))
+    return spark.createDataFrame(rows or [(0, 0)], "id long, label long").where(
+        F.lit(bool(rows))
+    )
+
+
+def read_snap_cover(
+    spark: SparkSession, path: str, node_map: DataFrame | None = None
+) -> DataFrame:
+    """``SNAPEdgeListPartitionReader`` (``cpp/io/
+    SNAPEdgeListPartitionReader.cpp:21-98``): line k (1-based, comments
+    and blanks count, as in the reference's line counter) lists the
+    ORIGINAL node ids of community k; ids are remapped through
+    ``node_map(orig_id, id)`` when given (unknown ids dropped with the
+    reference's warning semantics), taken verbatim otherwise."""
+    rows = []
+    k = 0
+    with open(path) as f:
+        for line in f:
+            k += 1
+            if line[:1] == "#" or not line.strip():
+                continue
+            for tok in line.split():
+                rows.append((int(tok), k))
+    cover = spark.createDataFrame(
+        rows or [(0, 0)], "orig_id long, label long"
+    ).where(F.lit(bool(rows)))
+    if node_map is None:
+        return cover.select(F.col("orig_id").alias("id"), "label")
+    return cover.join(node_map, "orig_id").select("id", "label")
+
+
+def write_dot_partition(graph: Graph, labels: DataFrame, path: str) -> None:
+    """``DotPartitionWriter`` (``cpp/io/DotPartitionWriter.cpp:8-52``):
+    undirected dot with one filled node per NON-isolated vertex, hue =
+    cluster's rank among the clusters of non-isolated vertices divided
+    by their count, then the edge list."""
+    _guard_fixture_scale(graph, "DotPartition")
+    deg = graph.degrees().where(F.col("out_deg") > 0).select("id")
+    lab = deg.join(labels.select("id", "label"), "id")
+    rows = lab.orderBy("id").collect()
+    unique = sorted({int(r["label"]) for r in rows})
+    factor = 1.0 / len(unique) if unique else 0.0
+    hue = {c: factor * i for i, c in enumerate(unique)}
+    edges = (graph.edges if graph.directed else graph.canonical()).select(
+        "src", "dst"
+    ).collect()
+    with open(path, "w") as f:
+        f.write("graph {\n")
+        for r in rows:
+            c = int(r["label"])
+            f.write(
+                f'{r["id"]} [style=filled, color="{hue[c]},0.99,0.99", '
+                f"label={c}];\n"
+            )
+        for e in edges:
+            f.write(f"{e['src']} -- {e['dst']};\n")
+        f.write("}\n")
+
+
+# ------------------------------------------------------ NetworKit binary (nkb)
+# The reference's own on-disk format (``cpp/io/NetworkitBinaryReader.cpp``,
+# ``NetworkitBinaryWriter.cpp``, spec ``cpp/io/NetworkitBinaryGraph.md``,
+# codec ``include/networkit/io/NetworkitBinaryGraph.hpp:33-139``): real
+# interop — a user can hand this engine the .nkb files the reference
+# wrote. Fixture-scale driver-side like the GraphTool/Thrill binaries;
+# engine-scale persistence stays parquet CSR.
+
+_NKB_MAGIC = b"nkbg002\x00"
+_MASK64 = (1 << 64) - 1
+# WEIGHT_FORMAT (NetworkitBinaryGraph.hpp:33-39)
+_NKB_NONE, _NKB_VARINT, _NKB_SIGNED, _NKB_DOUBLE, _NKB_FLOAT = 0, 1, 2, 3, 4
+
+
+def _nkb_varint_encode(value: int) -> bytes:
+    """nkbg::varIntEncode (NetworkitBinaryGraph.hpp:74-106): the byte
+    count is signalled by the position of the lowest set bit of the
+    first byte (0 first byte = 8 data bytes)."""
+    if value == 0:
+        return b"\x01"
+    if value >= (1 << 56):
+        return b"\x00" + value.to_bytes(8, "little")
+    data_bytes = (value.bit_length() - 1) // 7
+    first = ((1 << data_bytes) | ((value << (data_bytes + 1)) & 0xFF)) & 0xFF
+    rest = value >> (7 - data_bytes)
+    out = bytearray([first])
+    for _ in range(data_bytes):
+        out.append(rest & 0xFF)
+        rest >>= 8
+    return bytes(out)
+
+
+def _nkb_varint_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    b0 = buf[pos]
+    if b0:
+        n = (b0 & -b0).bit_length() - 1  # trailing zeros = extra bytes
+        decoded = b0 >> (n + 1)
+        bits = 7 - n
+    else:
+        n, decoded, bits = 8, 0, 0
+    for i in range(n):
+        decoded |= buf[pos + 1 + i] << bits
+        bits += 8
+    return decoded, pos + n + 1
+
+
+def _nkb_zigzag_encode(v: int) -> int:
+    return ((v << 1) & _MASK64) ^ (_MASK64 if v < 0 else 0)
+
+
+def _nkb_zigzag_decode(u: int) -> int:
+    x = (u >> 1) ^ (_MASK64 if (u & 1) else 0)
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def read_networkit_binary(spark: SparkSession, path: str) -> Graph:
+    """``NetworkitBinaryReader`` (``cpp/io/NetworkitBinaryReader.cpp:
+    19-230``): header → node flags → chunked varint adjacency (+ weight
+    streams). Undirected files store each edge in the adjacency block
+    as ``(u, v ≤ u)`` and again in the transpose block as ``(u, v ≥ u)``
+    — only the adjacency block is materialized here (the transpose is a
+    redundant view); directed files take out-edges + weights."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != _NKB_MAGIC:
+        raise ValueError("Reader expected another magic value")
+    (_, features, nodes, chunks, off_base, off_adj, _off_transp,
+     off_wght, _off_wght_t) = struct.unpack_from("<9Q", buf, 8)
+    directed = bool(features & 0x1)
+    wfmt = (features & 0xE) >> 1
+    weighted = wfmt != _NKB_NONE
+    # base data: node flags (bit0 set = node exists) + firstVertex
+    existing = [
+        i for i in range(nodes) if buf[off_base + i] & 0x1
+    ]
+    # adjacency block: (chunks-1) u64 prefix offsets, u64 edge count, data
+    adj_data = off_adj + (chunks - 1) * 8 + 8
+    pos = adj_data
+    wpos = off_wght + (chunks - 1) * 8 if weighted else 0
+    edges = []
+    for u in range(nodes):
+        cnt, pos = _nkb_varint_decode(buf, pos)
+        for _ in range(cnt):
+            v, pos = _nkb_varint_decode(buf, pos)
+            w = DEFAULT_EDGE_WEIGHT
+            if wfmt == _NKB_VARINT:
+                raw, wpos = _nkb_varint_decode(buf, wpos)
+                w = float(raw)
+            elif wfmt == _NKB_SIGNED:
+                raw, wpos = _nkb_varint_decode(buf, wpos)
+                w = float(_nkb_zigzag_decode(raw))
+            elif wfmt == _NKB_DOUBLE:
+                (w,) = struct.unpack_from("<d", buf, wpos)
+                wpos += 8
+            elif wfmt == _NKB_FLOAT:
+                (w,) = struct.unpack_from("<f", buf, wpos)
+                wpos += 4
+            edges.append((u, v, w))
+    edge_df = spark.createDataFrame(
+        edges or [(0, 0, 1.0)], "src long, dst long, weight double"
+    ).where(F.lit(bool(edges)))
+    verts = spark.createDataFrame([(i,) for i in existing] or [(0,)], "id long")
+    if not existing:
+        verts = verts.where(F.lit(False))
+    return Graph(edge_df, directed=directed, weighted=weighted, vertices=verts)
+
+
+def write_networkit_binary(
+    graph: Graph, path: str, chunks: int = 32, weights: str = "auto"
+) -> None:
+    """``NetworkitBinaryWriter`` (``cpp/io/NetworkitBinaryWriter.cpp:
+    21-345``): auto-detects the tightest weight format exactly like the
+    reference (unsigned varint → zigzag varint → float → double);
+    ``weights="none"`` forces an unweighted file. Chunk boundaries are
+    the reference's ``nodes/chunks`` split."""
+    import struct
+
+    _guard_fixture_scale(graph, "NetworkitBinary")
+    n = graph.number_of_nodes()
+    chunks = min(chunks, n) or 1
+    if graph.directed:
+        out_rows = graph.edges.select("src", "dst", "weight").collect()
+        out_adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        in_adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        for r in out_rows:
+            out_adj[r["src"]].append((int(r["dst"]), float(r["weight"])))
+            in_adj[r["dst"]].append((int(r["src"]), float(r["weight"])))
+    else:
+        out_adj = [[] for _ in range(n)]
+        in_adj = [[] for _ in range(n)]
+        for r in graph.symmetrized().collect():
+            u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+            # adjacency: v <= u; transpose: v >= u (Writer.cpp:186-197)
+            if v <= u:
+                out_adj[u].append((v, w))
+            if v >= u:
+                in_adj[u].append((v, w))
+    for lst in out_adj:
+        lst.sort()
+    for lst in in_adj:
+        lst.sort()
+
+    all_w = [w for lst in out_adj for _, w in lst]
+    if weights == "none" or not graph.weighted:
+        wfmt = _NKB_NONE
+    else:
+        if all(w == int(w) for w in all_w):
+            wfmt = _NKB_VARINT if all(w >= 0 for w in all_w) else _NKB_SIGNED
+        elif all(struct.unpack("<f", struct.pack("<f", w))[0] == w for w in all_w):
+            wfmt = _NKB_FLOAT
+        else:
+            wfmt = _NKB_DOUBLE
+
+    def enc_weight(w: float) -> bytes:
+        if wfmt == _NKB_VARINT:
+            return _nkb_varint_encode(int(w))
+        if wfmt == _NKB_SIGNED:
+            return _nkb_varint_encode(_nkb_zigzag_encode(int(w)))
+        if wfmt == _NKB_DOUBLE:
+            return struct.pack("<d", w)
+        if wfmt == _NKB_FLOAT:
+            return struct.pack("<f", w)
+        return b""
+
+    first_in_chunk = [0]
+    first = 0
+    for _ in range(1, chunks):
+        first += n // chunks
+        first_in_chunk.append(first)
+    first_in_chunk.append(n)
+
+    def encode_block(adj: list[list[tuple[int, float]]]) -> tuple[bytes, bytes, list[int], list[int], int]:
+        data, wdata = bytearray(), bytearray()
+        offsets, woffsets = [], []
+        total = 0
+        for c in range(chunks):
+            for u in range(first_in_chunk[c], first_in_chunk[c + 1]):
+                data += _nkb_varint_encode(len(adj[u]))
+                for v, w in adj[u]:
+                    data += _nkb_varint_encode(v)
+                    wdata += enc_weight(w)
+                total += len(adj[u])
+            offsets.append(len(data))
+            woffsets.append(len(wdata))
+        return bytes(data), bytes(wdata), offsets, woffsets, total
+
+    adj_b, adj_w, adj_off, adj_woff, m_out = encode_block(out_adj)
+    tr_b, tr_w, tr_off, tr_woff, m_in = encode_block(in_adj)
+
+    header_size = 8 + 9 * 8
+    off_base = header_size
+    off_adj = off_base + n + (chunks - 1) * 8
+    off_tr = off_adj + (chunks - 1) * 8 + 8 + len(adj_b)
+    if wfmt != _NKB_NONE:
+        off_w = off_tr + (chunks - 1) * 8 + 8 + len(tr_b)
+        off_wt = off_w + (chunks - 1) * 8 + len(adj_w)
+    else:
+        off_w = off_wt = 0
+    features = (1 if graph.directed else 0) | (wfmt << 1)
+    with open(path, "wb") as f:
+        f.write(_NKB_MAGIC)
+        f.write(struct.pack("<9Q", 0, features, n, chunks, off_base,
+                            off_adj, off_tr, off_w, off_wt))
+        f.write(bytes([1]) * n)  # all nodes exist (bit0 = exists)
+        for c in range(1, chunks):
+            f.write(struct.pack("<Q", first_in_chunk[c]))
+        for c in range(1, chunks):
+            f.write(struct.pack("<Q", adj_off[c - 1]))
+        f.write(struct.pack("<Q", m_out))
+        f.write(adj_b)
+        for c in range(1, chunks):
+            f.write(struct.pack("<Q", tr_off[c - 1]))
+        f.write(struct.pack("<Q", m_in))
+        f.write(tr_b)
+        if wfmt != _NKB_NONE:
+            for c in range(1, chunks):
+                f.write(struct.pack("<Q", adj_woff[c - 1]))
+            f.write(adj_w)
+            for c in range(1, chunks):
+                f.write(struct.pack("<Q", tr_woff[c - 1]))
+            f.write(tr_w)

@@ -1,0 +1,352 @@
+"""Round-3 long-tail: partition/cover IO formats, the NetworKit binary
+format, ClusteringProjector, PathGrowingMatcher, RandomSpanningForest."""
+
+import struct
+
+import pytest
+
+from networkit_spark import Graph
+from networkit_spark.operators.coarsening import (
+    ParallelPartitionCoarsening,
+    project_back,
+    project_back_to_finest,
+)
+from networkit_spark.operators.matching import PathGrowingMatcher
+from networkit_spark.operators.spanning import RandomSpanningForest
+from networkit_spark.sources import io as nio
+
+
+# ------------------------------------------------------------- partition IO
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, label long")
+
+
+def test_partition_text_roundtrip(spark, tmp_path):
+    labels = _labels(spark, [(0, 2), (1, 2), (2, 0), (3, 1)])
+    p = str(tmp_path / "part.txt")
+    nio.write_partition_text(labels, p)
+    assert open(p).read() == "2\n2\n0\n1\n"
+    back = {r["id"]: r["label"] for r in nio.read_partition_text(spark, p).collect()}
+    assert back == {0: 2, 1: 2, 2: 0, 3: 1}
+
+
+def test_partition_text_reader_skips_comments(spark, tmp_path):
+    p = str(tmp_path / "part2.txt")
+    with open(p, "w") as f:
+        f.write("# header\n*skip\n5\n7\n")
+    back = {r["id"]: r["label"] for r in nio.read_partition_text(spark, p).collect()}
+    assert back == {0: 5, 1: 7}
+
+
+def test_edge_list_partition_reader(spark, tmp_path):
+    p = str(tmp_path / "elp.txt")
+    with open(p, "w") as f:
+        f.write("# c\n1 4\n2 4\n3 9\n")
+    back = {
+        r["id"]: r["label"]
+        for r in nio.read_edge_list_partition(spark, p, first_node=1).collect()
+    }
+    assert back == {0: 4, 1: 4, 2: 9}
+
+
+@pytest.mark.parametrize("width", [4, 8])
+def test_binary_partition_roundtrip(spark, tmp_path, width):
+    labels = _labels(spark, [(0, 3), (1, 0), (2, 300), (3, 3)])
+    p = str(tmp_path / f"part{width}.bin")
+    nio.write_binary_partition(labels, p, width=width)
+    import os
+
+    assert os.path.getsize(p) == 4 * width
+    back = {
+        r["id"]: r["label"]
+        for r in nio.read_binary_partition(spark, p, width=width).collect()
+    }
+    assert back == {0: 3, 1: 0, 2: 300, 3: 3}
+
+
+@pytest.mark.parametrize("width", [4, 8])
+def test_binary_edge_list_partition_roundtrip(spark, tmp_path, width):
+    labels = _labels(spark, [(0, 1), (1, 1), (2, 5)])
+    p = str(tmp_path / f"belp{width}.bin")
+    nio.write_binary_edge_list_partition(labels, p, first_node=2, width=width)
+    back = {
+        r["id"]: r["label"]
+        for r in nio.read_binary_edge_list_partition(
+            spark, p, first_node=2, width=width
+        ).collect()
+    }
+    assert back == {0: 1, 1: 1, 2: 5}
+
+
+def test_binary_edge_list_partition_multi_file(spark, tmp_path):
+    a = _labels(spark, [(0, 1)])
+    b = _labels(spark, [(1, 2)])
+    pa, pb = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    nio.write_binary_edge_list_partition(a, pa)
+    nio.write_binary_edge_list_partition(b, pb)
+    back = {
+        r["id"]: r["label"]
+        for r in nio.read_binary_edge_list_partition(spark, [pa, pb]).collect()
+    }
+    assert back == {0: 1, 1: 2}
+
+
+# ----------------------------------------------------------------- cover IO
+def test_cover_roundtrip(spark, tmp_path):
+    cover = _labels(spark, [(0, 0), (1, 0), (1, 1), (2, 1)])
+    p = str(tmp_path / "cover.txt")
+    nio.write_cover(cover, p)
+    assert open(p).read() == "0 1 \n1 2 \n"
+    back = {
+        (r["id"], r["label"]) for r in nio.read_cover(spark, p).collect()
+    }
+    assert back == {(0, 0), (1, 0), (1, 1), (2, 1)}
+
+
+def test_edge_list_cover_reader(spark, tmp_path):
+    p = str(tmp_path / "elc.txt")
+    with open(p, "w") as f:
+        f.write("1 0 2\n2 1\n")
+    back = {
+        (r["id"], r["label"])
+        for r in nio.read_edge_list_cover(spark, p, first_node=1).collect()
+    }
+    assert back == {(0, 0), (0, 2), (1, 1)}
+
+
+def test_snap_cover_reader(spark, tmp_path):
+    p = str(tmp_path / "snap_cover.txt")
+    with open(p, "w") as f:
+        f.write("# comment line counts\n100 200\n300\n")
+    node_map = spark.createDataFrame(
+        [(100, 0), (200, 1), (300, 2), (999, 3)], "orig_id long, id long"
+    )
+    back = {
+        (r["id"], r["label"])
+        for r in nio.read_snap_cover(spark, p, node_map).collect()
+    }
+    # comment is line 1; communities are lines 2 and 3
+    assert back == {(0, 2), (1, 2), (2, 3)}
+
+
+def test_dot_partition_writer(spark, tmp_path):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=4)
+    labels = _labels(spark, [(0, 7), (1, 7), (2, 9), (3, 9)])
+    p = str(tmp_path / "part.dot")
+    nio.write_dot_partition(g, labels, p)
+    text = open(p).read()
+    assert text.startswith("graph {")
+    assert "3 [" not in text  # isolated node skipped
+    assert 'color="0.0,0.99,0.99", label=7' in text
+    assert 'color="0.5,0.99,0.99", label=9' in text
+    assert "0 -- 1;" in text and "1 -- 2;" in text
+
+
+# --------------------------------------------------------- NetworKit binary
+def test_nkb_varint_codec_golden():
+    enc = nio._nkb_varint_encode
+    dec = nio._nkb_varint_decode
+    # hand-derived from NetworkitBinaryGraph.hpp:74-126
+    assert enc(0) == b"\x01"
+    assert enc(1) == b"\x03"
+    assert enc(127) == b"\xff"
+    assert enc(128) == b"\x02\x02"
+    assert enc(1 << 56) == b"\x00" + (1 << 56).to_bytes(8, "little")
+    for v in [0, 1, 5, 127, 128, 300, 2**20, 2**49, 2**56, 2**63, 2**64 - 1]:
+        got, pos = dec(enc(v), 0)
+        assert got == v and pos == len(enc(v))
+
+
+def test_nkb_zigzag_roundtrip():
+    for v in [0, 1, -1, 5, -5, 2**40, -(2**40)]:
+        assert nio._nkb_zigzag_decode(nio._nkb_zigzag_encode(v)) == v
+
+
+@pytest.mark.parametrize(
+    "directed,weights",
+    [(False, None), (True, None), (False, "ints"), (True, "doubles"),
+     (False, "signed"), (True, "floats")],
+)
+def test_nkb_roundtrip(spark, tmp_path, directed, weights):
+    if weights == "ints":
+        raw = [(0, 1, 3.0), (1, 2, 1.0), (0, 3, 7.0), (3, 3, 2.0)]
+    elif weights == "doubles":
+        raw = [(0, 1, 0.123456789), (1, 2, 3.5), (0, 3, 1e-9)]
+    elif weights == "signed":
+        raw = [(0, 1, -3.0), (1, 2, 4.0), (0, 3, -1.0)]
+    elif weights == "floats":
+        raw = [(0, 1, 0.5), (1, 2, -2.25), (0, 3, 3.75)]
+    else:
+        raw = [(0, 1), (1, 2), (0, 3), (2, 4)]
+    g = Graph.from_edge_list(
+        spark, raw, directed=directed, weighted=weights is not None, num_nodes=5
+    )
+    p = str(tmp_path / f"g_{directed}_{weights}.nkb")
+    nio.write_networkit_binary(g, p, chunks=3)
+    back = nio.read_networkit_binary(spark, p)
+    assert back.directed == directed
+    assert back.weighted == (weights is not None)
+    assert back.number_of_nodes() == 5
+
+    def canon(gr):
+        base = gr.edges if gr.directed else gr.canonical()
+        return sorted(
+            (r["src"], r["dst"], r["weight"]) for r in base.collect()
+        )
+
+    a, b = canon(g), canon(back)
+    assert [(u, v) for u, v, _ in a] == [(u, v) for u, v, _ in b]
+    for (_, _, wa), (_, _, wb) in zip(a, b):
+        assert wa == pytest.approx(wb, rel=1e-6 if weights == "floats" else 0)
+
+
+def test_nkb_header_fields(spark, tmp_path):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], num_nodes=3)
+    p = str(tmp_path / "hdr.nkb")
+    nio.write_networkit_binary(g, p, chunks=2)
+    buf = open(p, "rb").read()
+    assert buf[:8] == b"nkbg002\x00"
+    _, features, nodes, chunks = struct.unpack_from("<4Q", buf, 8)
+    assert features == 0 and nodes == 3 and chunks == 2
+
+
+# ------------------------------------------------------- ClusteringProjector
+def test_project_back(spark):
+    # two triangles; coarsen by the natural split, then project back
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    )
+    labels = _labels(spark, [(i, 0 if i < 3 else 1) for i in range(6)])
+    ppc = ParallelPartitionCoarsening(g, labels).run()
+    mapping = ppc.get_fine_to_coarse_node_mapping()
+    coarse_part = _labels(spark, [(0, 10), (1, 20)])
+    fine = {r["id"]: r["label"] for r in project_back(mapping, coarse_part).collect()}
+    # supers are dense ranks of labels {0,1} -> {0,1}
+    assert fine == {0: 10, 1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
+
+
+def test_project_back_to_finest_two_levels(spark):
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    )
+    l1 = _labels(spark, [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2), (5, 2)])
+    ppc1 = ParallelPartitionCoarsening(g, l1).run()
+    m1 = ppc1.get_fine_to_coarse_node_mapping()
+    coarse1 = ppc1.get_coarse_graph()
+    l2 = _labels(spark, [(0, 0), (1, 0), (2, 1)])
+    ppc2 = ParallelPartitionCoarsening(coarse1, l2).run()
+    m2 = ppc2.get_fine_to_coarse_node_mapping()
+    final = _labels(spark, [(0, 100), (1, 200)])
+    fine = {
+        r["id"]: r["label"]
+        for r in project_back_to_finest(final, [m1, m2]).collect()
+    }
+    assert fine == {0: 100, 1: 100, 2: 100, 3: 100, 4: 200, 5: 200}
+    # no levels: identity
+    ident = {
+        r["id"]: r["label"] for r in project_back_to_finest(final, []).collect()
+    }
+    assert ident == {0: 100, 1: 200}
+
+
+# -------------------------------------------------------- PathGrowingMatcher
+def test_path_growing_simple_path(spark):
+    # path 0-1-2-3 with middle edge heaviest: optimal picks {0-1, 2-3}
+    g = Graph.from_edge_list(
+        spark, [(0, 1, 2.0), (1, 2, 3.0), (2, 3, 2.0)], weighted=True
+    )
+    pg = PathGrowingMatcher(g).run()
+    got = {(r["u"], r["v"]) for r in pg.get_matching().collect()}
+    # trace: start at degree-2 vertex 1 (tie of 1,2 -> smallest id);
+    # heaviest alive edge 1-2 -> m1; continue at 2 with edge 2-3 -> m2;
+    # then 0 isolated. m1 weight 3 > m2 weight 2.
+    assert got == {(1, 2)}
+    assert pg.matching_weight() == pytest.approx(3.0)
+
+
+def test_path_growing_valid_matching_and_half_approx(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 10
+    edges = []
+    for u, v in itertools.combinations(range(n), 2):
+        if rng.random() < 0.4:
+            edges.append((u, v, float(rng.randint(1, 20))))
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    pg = PathGrowingMatcher(g).run()
+    pairs = [(r["u"], r["v"]) for r in pg.get_matching().collect()]
+    seen = [x for p in pairs for x in p]
+    assert len(seen) == len(set(seen))  # valid matching
+    ew = {(u, v): w for u, v, w in edges}
+    assert pg.matching_weight() == pytest.approx(
+        sum(ew[p] for p in pairs)
+    )
+    # brute-force maximum-weight matching for the 1/2-approx guarantee
+    best = 0.0
+    es = list(ew.items())
+
+    def rec(i, used, w):
+        nonlocal best
+        best = max(best, w)
+        if i >= len(es):
+            return
+        for j in range(i, len(es)):
+            (u, v), wt = es[j]
+            if u not in used and v not in used:
+                rec(j + 1, used | {u, v}, w + wt)
+    rec(0, frozenset(), 0.0)
+    assert pg.matching_weight() >= 0.5 * best
+
+
+def test_path_growing_rejects_self_loops(spark):
+    g = Graph.from_edge_list(spark, [(0, 0), (0, 1)])
+    with pytest.raises(ValueError):
+        PathGrowingMatcher(g).run()
+
+
+# ------------------------------------------------------ RandomSpanningForest
+def test_random_spanning_forest_valid(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (6, 7)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=9)  # 8 isolated
+    forest = {(r["src"], r["dst"]) for r in
+              RandomSpanningForest(g, seed=3).run().get_forest().collect()}
+    # components: {0..5}, {6,7}, {8} -> 5 + 1 + 0 tree edges
+    assert len(forest) == 6
+    stored = {(min(u, v), max(u, v)) for u, v in edges}
+    assert forest <= stored
+    # acyclic + spanning: union-find over forest edges joins each component
+    parent = list(range(9))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in forest:
+        ru, rv = find(u), find(v)
+        assert ru != rv  # no cycle
+        parent[ru] = rv
+    assert len({find(i) for i in range(6)}) == 1
+    assert find(6) == find(7)
+
+
+def test_random_spanning_forest_uniform_on_triangle(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (0, 2)])
+    seen = set()
+    for seed in range(12):
+        t = frozenset(
+            (r["src"], r["dst"])
+            for r in RandomSpanningForest(g, seed=seed).run().get_forest().collect()
+        )
+        seen.add(t)
+    # all 3 spanning trees of K3 should appear across seeds
+    assert len(seen) == 3
+
+
+def test_random_spanning_forest_deterministic(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    a = RandomSpanningForest(g, seed=5).run().get_forest().collect()
+    b = RandomSpanningForest(g, seed=5).run().get_forest().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
