@@ -111,6 +111,13 @@ from networkit_spark.operators.distance import (
     ReverseBFS,
 )
 from networkit_spark.operators import graphtools
+from networkit_spark.operators.spectral import (
+    SpectralColoring,
+    SpectralPartitioner,
+    adjacency_eigenvectors,
+    laplacian_eigenvectors,
+)
+from networkit_spark.sources import graphio
 from networkit_spark.operators.distance_extras import (
     BidirectionalBFS,
     BidirectionalDijkstra,
@@ -158,6 +165,11 @@ __all__ = [
     "AffectedNodes",
     "Eccentricity",
     "ReverseBFS",
+    "SpectralColoring",
+    "SpectralPartitioner",
+    "adjacency_eigenvectors",
+    "laplacian_eigenvectors",
+    "graphio",
     "graphtools",
     "HopPlotApproximation",
     "NeighborhoodFunction",

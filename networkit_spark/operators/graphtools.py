@@ -278,3 +278,23 @@ def to_weighted(graph: Graph) -> Graph:
         weighted=True,
         vertices=graph.vertices,
     )
+
+
+def bfs_sample(graph: Graph, source: int | None = None, k: int = 50,
+               seed: int = 42) -> Graph:
+    """``sampling.bfsSample`` (``networkit/sampling.py:5-27``): the
+    node-induced subgraph of the source plus the first k nodes a BFS
+    discovers. The reference truncates mid-level in queue order; this
+    truncates by the deterministic ``(hop, id)`` order — same ball,
+    reproducible boundary."""
+    from networkit_spark.operators.distance import BFS
+
+    if source is None:
+        source = random_node(graph, seed=seed)
+    if source is None:
+        return graph
+    bfs = BFS(graph, int(source)).run()
+    nodes = (
+        bfs.distances().orderBy("dist", "id").limit(int(k) + 1).select("id")
+    )
+    return graph.subgraph_from_nodes(nodes)

@@ -135,11 +135,14 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     return Graph(edges, directed=False, weighted=False, vertices=vertices)
 
 
-def write_edge_list(graph: Graph, path: str, separator: str = "\t") -> None:
-    """``EdgeListWriter``: one ``u<sep>v[<sep>w]`` line per edge."""
+def write_edge_list(
+    graph: Graph, path: str, separator: str = "\t", first_node: int = 0
+) -> None:
+    """``EdgeListWriter``: one ``u<sep>v[<sep>w]`` line per edge; ids
+    shifted by ``first_node`` (the reference writer's offset)."""
     cols = [
-        F.col("src").cast("string"),
-        F.col("dst").cast("string"),
+        (F.col("src") + first_node).cast("string"),
+        (F.col("dst") + first_node).cast("string"),
     ]
     if graph.weighted:
         cols.append(F.col("weight").cast("string"))

@@ -297,3 +297,15 @@ def streaming_vertex_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def graph_from_stream(
+    spark, events: DataFrame, weighted: bool = False, directed: bool = False
+) -> "Graph":
+    """``dynamic.graphFromStream`` (``networkit/dynamic.py:6-22``):
+    build a fresh graph by replaying an event stream onto an empty
+    graph — node additions populate the tracked vertex set."""
+    empty_e = spark.createDataFrame([], "src long, dst long, weight double")
+    empty_v = spark.createDataFrame([], "id long")
+    g = Graph(empty_e, directed=directed, weighted=weighted, vertices=empty_v)
+    return apply_events(g, events)

@@ -350,3 +350,73 @@ def test_random_spanning_forest_deterministic(spark):
     a = RandomSpanningForest(g, seed=5).run().get_forest().collect()
     b = RandomSpanningForest(g, seed=5).run().get_forest().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------- graphio dispatcher
+def test_read_write_graph_dispatch(spark, tmp_path):
+    from networkit_spark.sources.graphio import Format, GraphConverter, read_graph, write_graph
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    # METIS roundtrip through the dispatcher
+    p = str(tmp_path / "g.metis")
+    write_graph(g, p, Format.METIS)
+    back = read_graph(spark, p, Format.METIS)
+    assert back.number_of_nodes() == 4 and back.number_of_edges() == 3
+    # NetworkitBinary through the dispatcher
+    p2 = str(tmp_path / "g.nkb")
+    write_graph(g, p2, Format.NetworkitBinary)
+    back2 = read_graph(spark, p2, Format.NetworkitBinary)
+    assert sorted(map(tuple, back2.canonical().select("src", "dst").collect())) == [
+        (0, 1), (1, 2), (2, 3)
+    ]
+    # EdgeListTabOne preset roundtrip (1-based ids on disk)
+    p3 = str(tmp_path / "g.el")
+    write_graph(g, p3, Format.EdgeListTabOne)
+    back3 = read_graph(spark, p3, Format.EdgeListTabOne)
+    assert sorted(map(tuple, back3.canonical().select("src", "dst").collect())) == [
+        (0, 1), (1, 2), (2, 3)
+    ]
+    # converter + unknown-format error
+    conv = GraphConverter(Format.METIS, Format.GML)
+    out = str(tmp_path / "g.gml")
+    conv.convert(spark, p, out)
+    assert open(out).read().startswith("graph [")
+    with pytest.raises(ValueError):
+        write_graph(g, str(tmp_path / "x"), Format.KONECT)
+    with pytest.raises(IOError):
+        read_graph(spark, str(tmp_path / "missing.metis"), Format.METIS)
+
+
+# --------------------------------------------------------------- bfsSample
+def test_bfs_sample(spark):
+    from networkit_spark.operators.graphtools import bfs_sample
+
+    # star + tail: from the hub, k=3 keeps hub + 3 closest by (hop, id)
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=6)
+    sub = bfs_sample(g, source=0, k=3)
+    ids = {r["id"] for r in sub.vertices.collect()}
+    assert ids == {0, 1, 2, 3}
+    sub_edges = {tuple(r) for r in sub.canonical().select("src", "dst").collect()}
+    assert sub_edges == {(0, 1), (0, 2), (0, 3)}
+
+
+# --------------------------------------------------------- graphFromStream
+def test_graph_from_stream(spark):
+    from networkit_spark.streaming.events import graph_from_stream
+
+    events = spark.createDataFrame(
+        [
+            ("NODE_ADDITION", 0, None, None),
+            ("NODE_ADDITION", 1, None, None),
+            ("NODE_ADDITION", 2, None, None),
+            ("EDGE_ADDITION", 0, 1, 2.5),
+            ("EDGE_ADDITION", 1, 2, 1.0),
+            ("EDGE_REMOVAL", 1, 2, None),
+        ],
+        "etype string, u long, v long, w double",
+    )
+    g = graph_from_stream(spark, events, weighted=True, directed=False)
+    assert g.number_of_nodes() == 3
+    got = [tuple(r) for r in g.edges.collect()]
+    assert got == [(0, 1, 2.5)]
