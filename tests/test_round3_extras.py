@@ -420,3 +420,56 @@ def test_graph_from_stream(spark):
     assert g.number_of_nodes() == 3
     got = [tuple(r) for r in g.edges.collect()]
     assert got == [(0, 1, 2.5)]
+
+
+# ----------------------------------------------------------- traversal API
+def test_dfs_from_golden(spark):
+    from networkit_spark.operators.traversal import dfs_edges_from, dfs_from
+
+    #      0 - 1 - 3
+    #      |     \
+    #      2      4
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 3), (1, 4)])
+    order = [r["id"] for r in dfs_from(g, 0).orderBy("order").collect()]
+    # stack: push 1,2 -> pop 2; pop 1, push 3,4 -> pop 4 -> pop 3
+    assert order == [0, 2, 1, 4, 3]
+    edges = [
+        (r["u"], r["v"])
+        for r in dfs_edges_from(g, 0).orderBy("order").collect()
+    ]
+    assert edges == [(0, 1), (0, 2), (1, 3), (1, 4)]
+
+
+def test_bfs_from_order_and_edges(spark):
+    from networkit_spark.operators.traversal import bfs_edges_from, bfs_from
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    rows = bfs_from(g, 0).orderBy("order").collect()
+    assert [r["id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["dist"] for r in rows] == [0, 1, 1, 2]
+    tree = {(r["u"], r["v"]) for r in bfs_edges_from(g, 0).collect()}
+    # 3's parent is min(1, 2) = 1
+    assert tree == {(0, 1), (0, 2), (1, 3)}
+
+
+# ----------------------------------------------------------------- gini
+def test_gini_matches_reference_formula(spark):
+    import random
+
+    from networkit_spark.functions.stats import gini
+
+    def ref_gini(values):
+        sorted_list = sorted(values)
+        height, area = 0, 0
+        for value in sorted_list:
+            height += value
+            area += height - value / 2.0
+        fair_area = height * len(values) / 2
+        return (fair_area - area) / fair_area
+
+    rng = random.Random(5)
+    values = [rng.uniform(0, 10) for _ in range(200)] + [3.0] * 20  # ties
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    assert gini(df, "x") == pytest.approx(ref_gini(values), abs=1e-12)
+    same = spark.createDataFrame([(2.0,)] * 50, "x double")
+    assert gini(same, "x") == pytest.approx(0.0, abs=1e-12)
