@@ -52,6 +52,7 @@ from networkit_spark.operators.distance import (
     BFS,
     Diameter,
     Dijkstra,
+    EffectiveDiameter,
     EffectiveDiameterApproximation,
 )
 from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
@@ -72,6 +73,7 @@ from networkit_spark.operators.dyncomponents import (
     DynWeaklyConnectedComponents,
 )
 from networkit_spark.operators.spanning import (
+    KruskalMSF,
     MinimumSpanningForest,
     RandomMaximumSpanningForest,
     SpanningForest,
@@ -84,6 +86,7 @@ from networkit_spark.operators.matching import LocalMaxMatcher
 from networkit_spark.operators.cliques import MaximalCliques
 from networkit_spark.operators.agglomerative import ParallelAgglomerativeClusterer
 from networkit_spark.operators.algebraic import (
+    ApproxSpanningEdge,
     CommuteTimeDistance,
     SpanningEdgeCentrality,
 )
@@ -119,6 +122,8 @@ from networkit_spark.operators.spectral import (
 )
 from networkit_spark.sources import graphio
 from networkit_spark.operators.distance_extras import (
+    AStar,
+    AStarGeneral,
     BidirectionalBFS,
     BidirectionalDijkstra,
     NeighborhoodFunctionHeuristic,
@@ -175,6 +180,9 @@ __all__ = [
     "NeighborhoodFunction",
     "NeighborhoodFunctionApproximation",
     "BidirectionalBFS",
+    "AStar",
+    "AStarGeneral",
+    "ApproxSpanningEdge",
     "BidirectionalDijkstra",
     "NeighborhoodFunctionHeuristic",
     "GedWalk",
@@ -186,6 +194,7 @@ __all__ = [
     "KadabraBetweenness",
     "LocalMaxMatcher",
     "MaximalCliques",
+    "KruskalMSF",
     "MinimumSpanningForest",
     "GCE",
     "PageRankNibble",
@@ -194,6 +203,7 @@ __all__ = [
     "SpanningEdgeCentrality",
     "SpanningForest",
     "UnionMaximumSpanningForest",
+    "EffectiveDiameter",
     "EffectiveDiameterApproximation",
     "EpidemicSimulationSEIR",
     "ParallelAgglomerativeClusterer",

@@ -441,3 +441,173 @@ def electrical_closeness(
             / (F.lit(float(n)) * F.col("diag") + F.lit(float(trace)))
         ).alias("score"),
     )
+
+
+class ApproxSpanningEdge(Algorithm):
+    """ε-additive spanning-edge centrality via uniform-spanning-tree
+    sampling (``cpp/centrality/ApproxSpanningEdge.cpp:20-199``, Hayashi
+    et al., IJCAI 2016): score(e) = fraction of ``nSamples =
+    ceil(log(2m·n)/(2ε²))`` sampled USTs containing ``e``, sampled
+    independently per biconnected component (a UST of G is the product
+    of USTs of its blocks). Reference shortcuts reproduced exactly:
+    a 2-node block's edge is in EVERY spanning tree (score 1); in a
+    3-node block (triangle) the tree is the 2 edges incident to a
+    uniformly drawn node; larger blocks run Wilson's loop-erased walks
+    seeded from a BFS ordering rooted at the block's max-degree node
+    (``ApproxSpanningEdge.cpp:46-125``).
+
+    Spark re-expression: the reference parallelizes over SAMPLES
+    (OpenMP threads each drawing whole USTs against the shared graph);
+    here the samples frame ``spark.range(nSamples)`` fans out through
+    ``mapInPandas`` with the block structure broadcast — the same
+    parallel axis, executor-count wide. Block structure (adjacency +
+    BFS sequences) is prepared once driver-side behind the fixture
+    guard; the distributed JL :class:`SpanningEdgeCentrality`
+    ``run_approximation()`` is the engine-scale estimator for graphs
+    past the broadcast bound. Walk draws are seeded per sample id —
+    deterministic and partitioning-independent, divergent from the
+    reference's URNG stream by construction.
+    """
+
+    _MAX_DRIVER_EDGES = 2_000_000
+
+    def __init__(self, graph: Graph, eps: float = 0.1, seed: int = 42) -> None:
+        if graph.directed:
+            raise ValueError("ApproxSpanningEdge needs an undirected graph")
+        super().__init__(graph)
+        self.eps = float(eps)
+        self.seed = int(seed)
+        self._scores: DataFrame | None = None
+
+    def _run(self) -> None:
+        from networkit_spark.operators.biconnected import BiconnectedComponents
+
+        g = self.graph
+        spark = g.edges.sparkSession
+        m = g.number_of_edges()
+        n = g.number_of_nodes()
+        if not m:
+            raise ValueError("Error: graph is empty!")
+        if m > self._MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"ApproxSpanningEdge broadcasts the block structure "
+                f"({m} edges > {self._MAX_DRIVER_EDGES}); use "
+                "SpanningEdgeCentrality.run_approximation() at engine scale"
+            )
+        delta = 1.0 / float(n)
+        n_samples = int(math.ceil(math.log(2.0 * m / delta)
+                                  / (2.0 * self.eps * self.eps)))
+
+        bcc = BiconnectedComponents(g).run()
+        comp_edges: dict[int, list[tuple[int, int]]] = {}
+        for r in bcc.edge_components().collect():
+            comp_edges.setdefault(int(r["block"]), []).append(
+                (int(r["u"]), int(r["v"]))
+            )
+        fixed: list[tuple[int, int]] = []   # 2-node blocks: score 1
+        blocks: list[tuple[list[int], dict[int, list[int]]]] = []
+        for edges in comp_edges.values():
+            nodes = sorted({x for e in edges for x in e})
+            if len(nodes) == 2:
+                fixed.append(edges[0])
+                continue
+            adj: dict[int, list[int]] = {u: [] for u in nodes}
+            for u, v in edges:
+                adj[u].append(v)
+                adj[v].append(u)
+            for lst in adj.values():
+                lst.sort()
+            if len(nodes) == 3:
+                blocks.append((nodes, adj))
+                continue
+            # BFS sequence from the max-degree node (ties → smallest id)
+            root = max(nodes, key=lambda u: (len(adj[u]), -u))
+            seq, seen, q = [], {root}, [root]
+            while q:
+                u = q.pop(0)
+                seq.append(u)
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        q.append(v)
+            blocks.append((seq, adj))
+        bc_blocks = spark.sparkContext.broadcast(blocks)
+        seed = self.seed
+
+        def sample_batches(iterator):
+            import numpy as np
+            import pandas as pd
+
+            blks = bc_blocks.value
+            for pdf in iterator:
+                out_u, out_v = [], []
+                for sample_id in pdf["id"]:
+                    rng = np.random.default_rng((seed, int(sample_id)))
+                    for seq, adj in blks:
+                        if len(seq) == 3:
+                            # triangle: tree = 2 edges at a random node
+                            u = seq[int(rng.integers(3))]
+                            for v in adj[u]:
+                                a, b = (u, v) if u < v else (v, u)
+                                out_u.append(a)
+                                out_v.append(b)
+                            continue
+                        in_tree = {seq[0]}
+                        parent: dict[int, int] = {}
+                        for start in seq[1:]:
+                            if start in in_tree:
+                                continue
+                            cur = start
+                            while cur not in in_tree:
+                                nbrs = adj[cur]
+                                parent[cur] = nbrs[
+                                    int(rng.integers(len(nbrs)))
+                                ]
+                                cur = parent[cur]
+                            cur = start
+                            while cur not in in_tree:
+                                in_tree.add(cur)
+                                p = parent[cur]
+                                a, b = (cur, p) if cur < p else (p, cur)
+                                out_u.append(a)
+                                out_v.append(b)
+                                cur = p
+                yield pd.DataFrame({"u": out_u, "v": out_v})
+
+        sampled = (
+            spark.range(n_samples)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(sample_batches, "u long, v long")
+            .groupBy("u", "v")
+            .agg((F.count("*") / float(n_samples)).alias("score"))
+        )
+        canon = (
+            g.canonical()
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        fixed_df = (
+            spark.createDataFrame(
+                [(min(u, v), max(u, v)) for u, v in fixed], "u long, v long"
+            )
+            if fixed
+            else None
+        )
+        scores = canon.join(sampled, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+        if fixed_df is not None:
+            scores = (
+                scores.join(fixed_df.withColumn("one", F.lit(1.0)),
+                            ["u", "v"], "left")
+                .select("u", "v",
+                        F.coalesce("one", F.col("score")).alias("score"))
+            )
+        self._scores = scores.localCheckpoint()
+        bc_blocks.destroy()
+
+    def scores(self) -> DataFrame:
+        """``(u, v, score)`` — estimated Pr[e ∈ UST] per canonical edge."""
+        self.assure_finished()
+        return self._scores

@@ -22,7 +22,7 @@ Spark plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.base import Algorithm
@@ -384,6 +384,71 @@ class EffectiveDiameterApproximation(Algorithm):
                 self._effective_diameter = float(h)
                 break
         sym.unpersist()
+
+    def get_effective_diameter(self) -> float:
+        self.assure_finished()
+        return self._effective_diameter
+
+
+class EffectiveDiameter(Algorithm):
+    """Exact effective diameter
+    (``cpp/distance/EffectiveDiameter.cpp:24-85``): for every node the
+    smallest ``h ≥ 1`` whose ball ``|{u : d(v,u) ≤ h}|`` reaches
+    ``ceil(ratio · n)``, averaged over nodes. The reference expands per-
+    node reachability bitsets one hop at a time and credits the hop at
+    which each node crosses the threshold — so a node whose 0-ball
+    already suffices still contributes 1 (its first check happens after
+    the first expansion); ``max(1, ·)`` below reproduces that.
+
+    Spark re-expression: the bitset propagation IS an all-source BFS, so
+    reuse the batched :class:`APSP` frontier machinery (one join-agg per
+    hop for every source at once), then the per-node crossing hop is a
+    cumulative count over the ``(source, dist)`` histogram — no O(n²)
+    driver state. Exact all-pairs state is O(n·reachable), the same
+    memory class as the reference's per-node bitsets; the ANF
+    :class:`EffectiveDiameterApproximation` is the at-scale variant,
+    exactly as in the reference.
+
+    Guards match the reference ctor: directed graphs and graphs with
+    more than one connected component raise.
+    """
+
+    def __init__(self, graph: Graph, ratio: float = 0.9,
+                 max_hops: int = 10_000) -> None:
+        if graph.directed:
+            raise ValueError(
+                "current implementation can only deal with undirected graphs"
+            )
+        super().__init__(graph)
+        self.ratio = float(ratio)
+        self.max_hops = max_hops
+        self._effective_diameter: float | None = None
+
+    def _run(self) -> None:
+        import math
+
+        n = self.graph.number_of_nodes()
+        threshold = int(math.ceil(self.ratio * n))
+        dist = APSP(self.graph, max_hops=self.max_hops).run().distances()
+        # connectivity guard (reference ctor runs ConnectedComponents):
+        # in a single undirected component every source reaches all n.
+        reach = dist.groupBy("source").count()
+        if reach.agg(F.min("count")).collect()[0][0] < n:
+            raise ValueError(
+                "current implementation only runs on graphs with 1 "
+                "connected component"
+            )
+        w = Window.partitionBy("source").orderBy("dist")
+        per_node = (
+            dist.groupBy("source", "dist")
+            .count()
+            .withColumn("cum", F.sum("count").over(w))
+            .where(F.col("cum") >= threshold)
+            .groupBy("source")
+            .agg(F.greatest(F.min("dist"), F.lit(1)).alias("h"))
+        )
+        total = per_node.agg(F.sum("h").alias("s")).collect()[0]["s"]
+        self._effective_diameter = float(total) / float(n)
 
     def get_effective_diameter(self) -> float:
         self.assure_finished()

@@ -291,6 +291,177 @@ class BidirectionalDijkstra(Algorithm):
         return self._dist
 
 
+class AStar(Algorithm):
+    """A* s→t shortest path (``distance/AStar.hpp:18-69`` /
+    ``distance/AStarGeneral.hpp:22-150``): Dijkstra whose priority-queue
+    order is biased by a per-node lower bound ``heu(u)`` on the distance
+    to the target. The pop order is a sequential-execution detail; the
+    RESULT contract — the exact weighted s→t distance whenever the
+    heuristic is admissible (the only case the reference guarantees) —
+    is re-expressed as bounded relaxation: per round every improved node
+    relaxes its out-edges, and a candidate ``(u, d)`` is pruned when
+    ``d + heu(u) ≥`` the best target distance seen so far. With the
+    zero heuristic this degenerates to plain distributed Dijkstra; a
+    tighter admissible heuristic prunes more of the frontier, which is
+    exactly the reference's speedup mechanism.
+
+    ``heuristic`` is a list (indexed by node id, matching the
+    reference's ``distanceHeu`` vector), a dict, or an ``(id, heu)``
+    DataFrame; every vertex must have a value
+    (``AStar.hpp:37-40`` throws on a size mismatch — here any uncovered
+    vertex raises).
+
+    ``get_path()`` reconstructs the node sequence from min-parent
+    pointers; the parent map for reached nodes is collected to the
+    driver — the same O(n) state as the reference's ``pred`` array.
+    """
+
+    def __init__(self, graph: Graph, heuristic, source: int, target: int,
+                 store_pred: bool = True, max_rounds: int = 10_000) -> None:
+        super().__init__(graph)
+        self.heuristic = heuristic
+        self.source = int(source)
+        self.target = int(target)
+        self.store_pred = bool(store_pred)
+        self.max_rounds = max_rounds
+        self._dist: float | None = None
+        self._path: list[int] | None = None
+
+    def _heu_frame(self) -> DataFrame:
+        spark = self.graph.edges.sparkSession
+        h = self.heuristic
+        if isinstance(h, DataFrame):
+            heu = h.select("id", F.col("heu").cast("double"))
+        elif isinstance(h, dict):
+            heu = spark.createDataFrame(
+                [(int(k), float(v)) for k, v in h.items()], "id long, heu double"
+            )
+        else:
+            heu = spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(h)], "id long, heu double"
+            )
+        covered = self.graph.vertices.join(heu, "id", "left_anti")
+        if covered.limit(1).count():
+            raise ValueError(
+                "the heuristic must provide a lower bound for every node "
+                "(AStar.hpp:37-40 size check)"
+            )
+        return heu
+
+    def _run(self) -> None:
+        g = self.graph
+        spark = g.edges.sparkSession
+        if g.edges.where(F.col("weight") < 0).limit(1).count():
+            raise ValueError("AStar requires non-negative edge weights")
+        heu = self._heu_frame().persist()
+        heu.count()
+        if self.source == self.target:
+            self._dist, self._path = 0.0, [self.source]
+            heu.unpersist()
+            return
+        mat = Materializer()
+        edges = (
+            (g.edges if g.directed else g.symmetrized())
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("weight").alias("w"))
+            .persist()
+        )
+        state = mat.cut(0, spark.createDataFrame(
+            [(self.source, 0.0, None)], "id long, d double, parent long"
+        ).withColumn("improved", F.lit(True)))
+        best = float("inf")
+        for rnd in range(1, self.max_rounds + 1):
+            frontier = state.where("improved")
+            if frontier.limit(1).count() == 0:
+                break
+            gathered = (
+                edges.join(
+                    frontier.select(
+                        F.col("id").alias("src"), F.col("d").alias("du")
+                    ).hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.struct((F.col("du") + F.col("w")).alias("cand"),
+                                    F.col("src").alias("parent"))).alias("m"))
+                .select("id", F.col("m.cand").alias("cand"),
+                        F.col("m.parent").alias("cand_parent"))
+            )
+            # admissible-bound pruning: d(u) + heu(u) ≥ best target
+            # distance can never improve the answer
+            gathered = gathered.join(heu, "id").where(
+                F.col("cand") + F.col("heu") < F.lit(best)
+            ).drop("heu")
+            merged = (
+                state.select("id", "d", "parent")
+                .join(gathered, "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("d", F.lit(float("inf"))),
+                        F.coalesce("cand", F.lit(float("inf"))),
+                    ).alias("d"),
+                    F.when(
+                        F.col("d").isNull() | (F.col("cand") < F.col("d")),
+                        F.col("cand_parent"),
+                    ).otherwise(F.col("parent")).alias("parent"),
+                    (F.col("d").isNull() | (F.col("cand") < F.col("d"))).alias(
+                        "improved"
+                    ),
+                )
+            )
+            state = mat.cut(rnd, merged)
+            row = state.where(F.col("id") == self.target).collect()
+            if row and row[0]["d"] < best:
+                best = float(row[0]["d"])
+        else:
+            edges.unpersist()
+            heu.unpersist()
+            raise RuntimeError(
+                f"A* relaxation did not settle in {self.max_rounds} rounds"
+            )
+        self._dist = best
+        if self.store_pred and best != float("inf"):
+            parents = {
+                r["id"]: r["parent"]
+                for r in state.select("id", "parent").collect()
+            }
+            path = [self.target]
+            while path[-1] != self.source:
+                path.append(parents[path[-1]])
+            self._path = list(reversed(path))
+        edges.unpersist()
+        heu.unpersist()
+
+    def get_distance(self) -> float:
+        """``STSP::getDistance`` — +inf when the target is unreachable."""
+        self.assure_finished()
+        return self._dist
+
+    def get_path(self) -> list[int]:
+        """``STSP::getPath`` — node sequence source…target (empty when
+        unreachable or ``store_pred=False``)."""
+        self.assure_finished()
+        return list(self._path) if self._path else []
+
+
+class AStarGeneral(AStar):
+    """``AStarGeneral<Heuristic>`` — A* with an arbitrary heuristic
+    callable ``node → lower bound``. The callable is evaluated once per
+    vertex through a vectorized pandas UDF (the reference calls
+    ``heu(u)`` per visited node); everything else is :class:`AStar`."""
+
+    def __init__(self, graph: Graph, heu, source: int, target: int,
+                 store_pred: bool = True, max_rounds: int = 10_000) -> None:
+        from pyspark.sql.functions import pandas_udf
+
+        fn = pandas_udf(lambda s: s.map(lambda i: float(heu(int(i)))),
+                        "double")
+        frame = graph.vertices.select("id", fn(F.col("id")).alias("heu"))
+        super().__init__(graph, frame, source, target, store_pred, max_rounds)
+
+
 # ---------------------------------------------------------------- volume
 def volume(graph: Graph, r: float, samples: int, seed: int = 42) -> float:
     """``Volume::volume(G, r, samples)`` — mean exact-ball size over

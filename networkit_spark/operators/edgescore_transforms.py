@@ -223,6 +223,20 @@ def quadrangle_edge_scores(graph: Graph) -> DataFrame:
     return out
 
 
+def chiba_nishizeki_triangle_edge_scores(graph: Graph) -> DataFrame:
+    """``ChibaNishizekiTriangleEdgeScore.cpp:16-120`` — per-edge triangle
+    counts via the Chiba–Nishizeki degree-bucketed neighbor-marking scan.
+    The scan order is a sequential-machine detail; the RESULT (number of
+    triangles containing each edge) is identical to ``TriangleEdgeScore``,
+    so this delegates to the engine's degree-oriented wedge-join
+    implementation (``operators/triangles.TriangleEdgeScore``) and exists
+    as the reference-name alias. Returns ``(u, v, score)`` on canonical
+    edges."""
+    from networkit_spark.operators.triangles import TriangleEdgeScore
+
+    return TriangleEdgeScore(graph).run().edge_scores()
+
+
 def _closure_fraction(graph: Graph, draws: DataFrame, seed: int) -> float:
     """Shared tail of the approx clustering coefficients: per (trial,
     node) draw two distinct seeded-uniform neighbors, return the

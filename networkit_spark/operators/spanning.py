@@ -207,6 +207,18 @@ class SpanningForest(MinimumSpanningForest):
         self._labels = inner._labels
 
 
+class KruskalMSF(MinimumSpanningForest):
+    """``graph/KruskalMSF.hpp:22-33`` — per-component minimum-weight
+    spanning tree via sorted edge scan + union-find. Kruskal's sequential
+    scan order and Borůvka's parallel min-edge rounds produce the same
+    forest WEIGHT always, and the same edge SET whenever weights are
+    distinct; under ties this engine's deterministic ``(w, src, dst)``
+    pick may choose different (equally minimal) edges than the
+    reference's ``std::sort`` order — the standard MSF non-uniqueness.
+    Borůvka is the log-round distributed formulation, so this is a
+    contract alias of :class:`MinimumSpanningForest`."""
+
+
 class RandomMaximumSpanningForest(MinimumSpanningForest):
     """Maximum-weight spanning forest with seeded tie order
     (``cpp/graph/RandomMaximumSpanningForest.cpp:14-70`` — descending
