@@ -609,3 +609,85 @@ def _union_all(frames: list[DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+def random_node_edge_scores(
+    graph: Graph, rne_ratio: float = 0.8, seed: int = 42
+) -> DataFrame:
+    """RandomNodeEdgeScore (``cpp/sparsification/RandomNodeEdgeScore.cpp:
+    17-66``): score(e) = (removal index)/m under sequential random
+    peeling — with probability ``rneRatio`` the removed edge is
+    node-biased (uniform node with degree > 0, then uniform incident
+    edge — ``GraphTools::randomEdge`` default mode,
+    ``GraphTools.cpp:128-138``), otherwise uniform over remaining edges.
+    Early-removed edges score low, survivors high.
+
+    The score IS the removal order of one sequential peel — each draw's
+    distribution depends on every prior removal — so this runs
+    DRIVER-SIDE at fixture scale (guarded), seeded, like the other
+    sequential-process ports. Divergence: the reference's uniform branch
+    pops from a stale pre-drawn batch revalidated by ``hasEdge``; here
+    each uniform draw is over the CURRENT edge set (the limit
+    distribution the batch approximates). Returns ``(u, v, score)``.
+    """
+    import random as _random
+
+    if graph.directed:
+        raise ValueError("RandomNodeEdgeScore needs an undirected graph")
+    m = graph.number_of_edges()
+    if m > 2_000_000:
+        raise ValueError(
+            f"RandomNodeEdgeScore is a sequential peel ({m} edges > "
+            "2000000); use random_edge_scores at engine scale"
+        )
+    rng = _random.Random(seed)
+    adj: dict[int, set[int]] = {}
+    edges: list[tuple[int, int]] = []
+    for r in (
+        graph.canonical()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    ):
+        u, v = int(r["src"]), int(r["dst"])
+        edges.append((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    edges.sort()
+    m = len(edges)
+    pos = {e: i for i, e in enumerate(edges)}  # live-edge index
+    live = list(edges)
+    nodes = sorted(adj)
+    score: dict[tuple[int, int], float] = {}
+    removed = 0
+
+    def _remove(e: tuple[int, int]) -> None:
+        i = pos.pop(e)
+        last = live[-1]
+        live[i] = last
+        if last != e:
+            pos[last] = i
+        live.pop()
+        adj[e[0]].discard(e[1])
+        adj[e[1]].discard(e[0])
+
+    while live:
+        if rng.random() >= rne_ratio:  # uniform over remaining edges
+            e = live[rng.randrange(len(live))]
+        else:  # node-biased: uniform non-isolated node, uniform neighbor
+            while True:
+                u = nodes[rng.randrange(len(nodes))]
+                if adj[u]:
+                    break
+            v = sorted(adj[u])[rng.randrange(len(adj[u]))]
+            e = (u, v) if u < v else (v, u)
+        score[e] = removed / m
+        _remove(e)
+        removed += 1
+
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(u, v, s) for (u, v), s in sorted(score.items())],
+        "u long, v long, score double",
+    )
