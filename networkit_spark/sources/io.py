@@ -1280,3 +1280,180 @@ def write_networkit_binary(
             for c in range(1, chunks):
                 f.write(struct.pack("<Q", tr_woff[c - 1]))
             f.write(tr_w)
+
+
+# ---------------------------------------------------------------------------
+# DibaP binary graphs + ESRI-ASCII raster point clouds
+# ---------------------------------------------------------------------------
+
+_DIBAP_GI = (ord("G") << 8) | ord("I")
+
+
+def read_dibap(
+    spark: SparkSession, path: str, with_coordinates: bool = False
+):
+    """``DibapGraphReader`` (``cpp/io/DibapGraphReader.cpp:34-183``):
+    big-endian (network byte order) binary CSR — ``int16`` magic ``'GI'``,
+    ``int32 V``, ``int32 dvw`` (+ ``V*dvw`` int32 vertex weights),
+    ``int32[V+1]`` offsets, ``int32[of[V]]`` targets, ``int32 dew``
+    (+ ``of[V]*dew`` int32 edge weights), ``int32 dxy``
+    (+ ``V*dxy`` float32 coordinates).
+
+    The graph is undirected; each stored half-edge materializes once via
+    the reference's ``v <= to[e]`` filter, carrying ``ew[e]`` when
+    ``dew > 0`` (the reference indexes edge weights by half-edge position
+    regardless of ``dew`` stride — mirrored here). Vertex weights are
+    parsed and discarded exactly like the reference ("so far without
+    node weights").
+
+    Returns the :class:`Graph`, or ``(Graph, points)`` with a
+    ``(id, x, y)`` DataFrame (first two coordinate dims) when
+    ``with_coordinates=True`` and ``dxy >= 2`` — else ``(Graph, None)``.
+    Driver-side fixture-scale interop, like the other binary readers.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    pos = 0
+
+    def take(fmt: str, count: int):
+        nonlocal pos
+        size = struct.calcsize(fmt) * count
+        if pos + size > len(raw):
+            raise ValueError("bad file structure")
+        out = struct.unpack_from(f">{count}{fmt[-1]}", raw, pos)
+        pos += size
+        return out
+
+    (magic,) = take(">h", 1)
+    if magic != _DIBAP_GI:
+        raise ValueError("bad file structure (missing GI magic)")
+    (n,) = take(">i", 1)
+    (dvw,) = take(">i", 1)
+    if dvw > 0:
+        take(">i", n * dvw)  # vertex weights: parsed, unused (reference FIXME)
+    of = take(">i", n + 1)
+    num_e2 = of[n]
+    to = take(">i", num_e2) if num_e2 else ()
+    (dew,) = take(">i", 1)
+    ew = take(">i", num_e2 * dew) if dew > 0 else ()
+    (dxy,) = take(">i", 1)
+    xy = take(">f", n * dxy) if dxy > 0 else ()
+
+    rows = []
+    for v in range(n):
+        for e in range(of[v], of[v + 1]):
+            if v <= to[e]:
+                w = float(ew[e]) if dew > 0 else 1.0
+                rows.append((v, to[e], w))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    vertices = spark.range(n).select(F.col("id"))
+    g = Graph(edges, directed=False, weighted=dew > 0, vertices=vertices)
+    if not with_coordinates:
+        return g
+    if dxy >= 2:
+        pts = spark.createDataFrame(
+            [(u, float(xy[u * dxy]), float(xy[u * dxy + 1])) for u in range(n)],
+            "id long, x double, y double",
+        )
+        return g, pts
+    return g, None
+
+
+def write_dibap(graph: Graph, path: str, coordinates=None) -> None:
+    """DibaP writer (fixture interop twin of :func:`read_dibap`; format
+    per ``cpp/io/DibapGraphReader.cpp:34-183``). Emits ``dvw=0``, a full
+    symmetric CSR (both half-edges, so the reader's ``v <= to[e]`` filter
+    reconstructs each edge exactly once), ``dew=1`` int32 weights for
+    weighted graphs, and ``dxy=2`` float32 coordinates when a
+    ``(id, x, y)`` DataFrame is passed."""
+    import struct
+
+    if graph.directed:
+        raise ValueError("DibaP stores undirected graphs")
+    _guard_fixture_scale(graph, "dibap")
+    n = graph.number_of_nodes()
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for r in graph.symmetrized().select("src", "dst", "weight").collect():
+        adj[r["src"]].append((r["dst"], int(r["weight"])))
+    for lst in adj:
+        lst.sort()
+    of = [0]
+    to: list[int] = []
+    ew: list[int] = []
+    for u in range(n):
+        for v, w in adj[u]:
+            to.append(v)
+            ew.append(w)
+        of.append(len(to))
+    dew = 1 if graph.weighted else 0
+    coords: list[float] = []
+    if coordinates is not None:
+        by_id = {
+            r["id"]: (float(r["x"]), float(r["y"]))
+            for r in coordinates.select("id", "x", "y").collect()
+        }
+        for u in range(n):
+            x, y = by_id.get(u, (0.0, 0.0))
+            coords.extend((x, y))
+    with open(path, "wb") as f:
+        f.write(struct.pack(">h", _DIBAP_GI))
+        f.write(struct.pack(">2i", n, 0))  # V, dvw=0
+        f.write(struct.pack(f">{n + 1}i", *of))
+        if to:
+            f.write(struct.pack(f">{len(to)}i", *to))
+        f.write(struct.pack(">i", dew))
+        if dew and ew:
+            f.write(struct.pack(f">{len(ew)}i", *ew))
+        f.write(struct.pack(">i", 2 if coords else 0))
+        if coords:
+            f.write(struct.pack(f">{len(coords)}f", *coords))
+
+
+def read_raster_points(
+    spark: SparkSession,
+    path: str,
+    normalization_factor: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """``RasterReader`` (``cpp/io/RasterReader.cpp:20-101``): ESRI-ASCII
+    raster → 2D point cloud. Header: 6 lines, ``ncols``/``nrows`` parsed
+    past a 14-char label on lines 1-2, lines 3-6 ignored; then ``nrows``
+    rows of ``ncols`` population values. Each cell ``(row, col)`` spawns
+    ``round(value * normalization_factor)`` points uniform in the unit
+    cell ``[col, col+1] x [1-(row+1), 1-row]`` (the reference's
+    ``xdelta = ydelta = 1.0`` layout: row 0 at the top, y decreasing).
+
+    Draws come from a seeded sequential PRNG in the reference's
+    row-major per-cell order, so a fixed ``seed`` is reproducible.
+    Returns a ``(id, x, y)`` DataFrame — the point-cloud input shape the
+    geometric generators (:func:`~networkit_spark.generators.mocnik_basic`
+    etc.) consume. Driver-side fixture-scale, like the other file readers.
+    """
+    import random
+
+    rng = random.Random(seed)
+    with open(path, "r") as f:
+        lines = f.read().splitlines()
+    if len(lines) < 6:
+        raise ValueError("raster header is broken")
+    ncols = int(float(lines[0][14:].strip().split()[0]))
+    nrows = int(float(lines[1][14:].strip().split()[0]))
+    rows = []
+    idx = 0
+    ylb, yub = 0.0, 1.0
+    for row in range(nrows):
+        vals = lines[6 + row].split()
+        if len(vals) < ncols:
+            raise ValueError(f"raster row {row} has {len(vals)} < {ncols} values")
+        xlb, xub = 0.0, 1.0
+        for col in range(ncols):
+            num = int(round(float(vals[col]) * normalization_factor))
+            for _ in range(num):
+                rows.append((idx, rng.uniform(xlb, xub), rng.uniform(ylb, yub)))
+                idx += 1
+            xlb, xub = xub, xub + 1.0
+        yub = ylb
+        ylb -= 1.0
+    return spark.createDataFrame(rows, "id long, x double, y double")
