@@ -118,15 +118,43 @@ def _bucketed(
     """``(out_id, t, bucket)`` for every (row, table) pair — ONE scan of
     ``df`` producing all tables via an inline array-explode, instead of a
     union of per-table re-scans (at corpus scale a T-way union re-reads
-    the source T times)."""
-    per_table = F.array(
+    the source T times).
+
+    The hyperplane matrix rides as a single constant-folded
+    ``array<array<double>>`` literal (row ``t*planes + p`` = hyperplane
+    (t, p)) and the T×P sign-bit buckets are computed by ONE nested
+    higher-order expression instead of T×P unrolled dot products —
+    unrolling built a Catalyst tree of tables×planes×dim literal nodes
+    (4096 for the near-dup defaults), which cost ~4s of driver-side
+    expression construction + analysis per query, dwarfing the actual
+    scan. Bucket values are bit-identical to the unrolled form: the
+    inner fold is the same left-to-right ``zip_with``+``aggregate`` dot,
+    the same ``>= 0`` sign rule, the same ``1 << p`` bit weights."""
+    mat = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket_col(F.col("emb"), t, planes, dim).alias("bucket"),
-            )
+            F.lit(_hyperplane(t, p, dim))
             for t in range(tables)
+            for p in range(planes)
         ]
+    )
+    per_table = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(
+            t.alias("t"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(planes - 1)),
+                F.lit(0),
+                lambda acc, p: acc
+                + F.when(
+                    _dot(
+                        F.col("emb"),
+                        F.element_at(mat, (t * planes + p + 1).cast("int")),
+                    )
+                    >= 0,
+                    F.pow(F.lit(2.0), p).cast("int"),
+                ).otherwise(F.lit(0)),
+            ).alias("bucket"),
+        ),
     )
     return df.select(out_id, F.explode(per_table).alias("tb")).select(
         out_id, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
