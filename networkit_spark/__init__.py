@@ -129,6 +129,7 @@ from networkit_spark.operators.distance_extras import (
     NeighborhoodFunctionHeuristic,
 )
 from networkit_spark.operators.gedwalk import GedWalk
+from networkit_spark.operators.layout import MaxentStress, PivotMDS
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS, DynDijkstra
 from networkit_spark.operators.dynkatz import DynKatzCentrality
 from networkit_spark.operators.dynbetweenness import DynApproxBetweenness

@@ -337,6 +337,7 @@ def algebraic_distance_scores(
     omega: float = 0.5,
     norm: int = 2,
     seed: int = 42,
+    normalize_loads: bool = False,
 ) -> DataFrame:
     """AlgebraicDistanceIndex (``cpp/linkprediction/AlgebraicDistance
     Index.cpp:18-70``): smooth ``num_systems`` random load vectors by
@@ -399,6 +400,23 @@ def algebraic_distance_scores(
             .groupBy(F.col("dst").alias("out_id"), "sys")
             .agg(F.sum(F.col("frac") * F.col("load")).alias("load"))
             .select(F.col("out_id").alias("id"), "sys", "load")
+        )
+    if normalize_loads:
+        # distance.AlgebraicDistance's final per-system min-max remap
+        # ``(min − load)/(min − max)`` (AlgebraicDistance.cpp:88-97) —
+        # the variant MaxentStress consumes; the linkprediction index
+        # (AlgebraicDistanceIndex.cpp) skips it
+        span = loads.groupBy("sys").agg(
+            F.min("load").alias("lo"), F.max("load").alias("hi")
+        )
+        loads = loads.join(span, "sys").select(
+            "id", "sys",
+            (
+                (F.col("lo") - F.col("load"))
+                / F.when(
+                    F.col("lo") != F.col("hi"), F.col("lo") - F.col("hi")
+                ).otherwise(F.lit(1.0))
+            ).alias("load"),
         )
     lu = loads.select(
         F.col("id").alias("u"), "sys", F.col("load").alias("lu")

@@ -1457,3 +1457,128 @@ def read_raster_points(
         yub = ylb
         ylb -= 1.0
     return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+# ------------------------------------------------------------------ EPS writer
+# 24-color cycle of ``PostscriptWriterColors::fromCyclicRotation``
+# (``cpp/viz/PostscriptWriter.cpp:21-34``)
+_PS_COLORS = [
+    (1.0, 0.0, 0.0), (1.0, 0.5, 0.0), (1.0, 1.0, 0.0), (0.5, 1.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.5), (0.0, 1.0, 1.0), (0.0, 0.5, 1.0),
+    (0.0, 0.0, 1.0), (0.5, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 0.0, 0.5),
+    (0.6, 0.0, 0.0), (0.6, 0.3, 0.0), (0.6, 0.6, 0.0), (0.3, 0.6, 0.0),
+    (0.0, 0.6, 0.0), (0.0, 0.6, 0.3), (0.0, 0.6, 0.6), (0.0, 0.3, 0.6),
+    (0.0, 0.0, 0.6), (0.3, 0.0, 0.6), (0.6, 0.0, 0.6), (0.6, 0.0, 0.3),
+]
+
+_PS_SIZE = 1020.0  # PostscriptWriter ctor (PostscriptWriter.cpp:37)
+
+
+def write_postscript(
+    graph: Graph,
+    coordinates: DataFrame,
+    path: str,
+    clustering: DataFrame | None = None,
+    torus: bool = False,
+) -> None:
+    """``PostscriptWriter::write`` (``cpp/viz/PostscriptWriter.cpp:
+    37-168``): EPS drawing — edges first (cluster color when both ends
+    share a cluster, 0.8-grey otherwise), then 2-pt node dots, bounding
+    box 1020×1020 with the reference's zero border and per-axis scale;
+    ``torus=True`` switches the EPSF-3.0 header and wraps edge vectors
+    longer than half the box. ``coordinates`` is ``(id, pos
+    array<double>)`` (a ``LayoutAlgorithm.coordinates()`` frame) or
+    ``(id, x, y)``; ``clustering=None`` mirrors the reference's
+    makeOneClustering default (every node cluster 0 → the first cycle
+    color). Driver-side fixture-scale writer (same class as the GML/DOT
+    writers); edge order is canonical (src,dst)-sorted — the reference
+    iterates storage order, a byte-order-only divergence.
+    """
+    _guard_fixture_scale(graph, "Postscript")
+    if "pos" in coordinates.columns:
+        coords = {
+            int(r["id"]): (float(r["pos"][0]), float(r["pos"][1]))
+            for r in coordinates.select("id", "pos").collect()
+        }
+    else:
+        coords = {
+            int(r["id"]): (float(r["x"]), float(r["y"]))
+            for r in coordinates.select("id", "x", "y").collect()
+        }
+    if clustering is None:
+        lab = {u: 0 for u in coords}
+    else:
+        lab = {
+            int(r["id"]): int(r["label"])
+            for r in clustering.select("id", "label").collect()
+        }
+    xs = [p[0] for p in coords.values()]
+    ys = [p[1] for p in coords.values()]
+    mnx, mny, mxx, mxy = min(xs), min(ys), max(xs), max(ys)
+    sx = _PS_SIZE / (mxx - mnx) if mxx > mnx else 1.0
+    sy = _PS_SIZE / (mxy - mny) if mxy > mny else 1.0
+
+    def adj(p):
+        return ((p[0] - mnx) * sx, (p[1] - mny) * sy)
+
+    edges = (
+        (graph.edges if graph.directed else graph.canonical())
+        .select("src", "dst")
+        .orderBy("src", "dst")
+        .collect()
+    )
+    with open(path, "w") as f:
+        f.write(
+            "%!PS-Adobe-3.0 EPSF-3.0\n" if torus else "%!PS-Adobe-1.0\n"
+        )
+        f.write("%%Title: NetworKit visualization\n")
+        # the reference prints ps_size[0] twice (PostscriptWriter.cpp:58)
+        f.write(f"%%BoundingBox: 0.000 0.000 {_PS_SIZE:.3f} {_PS_SIZE:.3f}\n")
+        f.write("%%EndComments\n")
+        if not torus:
+            f.write("%%EndProlog\ngsave\n")
+        f.write(
+            "/p {newpath} bind def\n/m {moveto} bind def\n"
+            "/r {rmoveto} bind def\n/k {rlineto} bind def\n"
+            "/l {lineto} bind def\n/n {rlineto} bind def\n"
+            "/c {setrgbcolor} bind def\n/s {stroke} bind def\n"
+            "/w {setlinewidth} bind def\n/h {show} bind def\n"
+            "/a {arc closepath fill} bind def\n"
+            "/b {closepath eofill} bind def\n"
+        )
+        f.write("0.000 0.000 0.000 c\n")
+        for e in edges:
+            u, v = int(e["src"]), int(e["dst"])
+            cu, cv = lab.get(u), lab.get(v)
+            if cu is not None and cu == cv:
+                r, g, b = _PS_COLORS[cu % len(_PS_COLORS)]
+                f.write(f"{r:.3f} {g:.3f} {b:.3f} c ")
+            else:
+                f.write("0.800 0.800 0.800 c 1.000 w ")
+            start, end = adj(coords[u]), adj(coords[v])
+            dx, dy = end[0] - start[0], end[1] - start[1]
+            if torus:
+                if dx > 500.0:
+                    dx -= 1000.0
+                elif dx < -500.0:
+                    dx += 1000.0
+                if dy > 500.0:
+                    dy -= 1000.0
+                elif dy < -500.0:
+                    dy += 1000.0
+                end = (start[0] + dx, start[1] + dy)
+            f.write(
+                f"p {start[0]:.3f} {start[1]:.3f} m "
+                f"{end[0]:.3f} {end[1]:.3f} l s\n"
+            )
+        for u in sorted(coords):
+            cu = lab.get(u)
+            if cu is not None:
+                r, g, b = _PS_COLORS[cu % len(_PS_COLORS)]
+                f.write(f"{r:.3f} {g:.3f} {b:.3f} c ")
+            else:
+                f.write("0.000 0.000 0.000 c ")
+            p = adj(coords[u])
+            f.write(f"p {p[0]:.3f} {p[1]:.3f} 2.000 0.00 360.00 a s\n")
+        if not torus:
+            f.write("grestore\n")
