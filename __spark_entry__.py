@@ -737,15 +737,28 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged text-analysis family (one gated query, one document scan):
     token count, length, punctuation ratio, stopword hits, plus n-gram
     language id (pred_lang, lang score) per document — all codegen
-    column expressions, no UDF."""
-    from networkit_spark.operators.textstats import language_id
+    column expressions, no UDF, and ONE projection: the language-id
+    argmax columns are inlined next to the stats columns instead of
+    joined back (both are per-row functions of the same scan; the old
+    self-join was a pure shuffle tax)."""
+    from networkit_spark.operators.textstats import lang_scores
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text = F.col("text")
     n = F.length(text)
     punct = n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
     the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\bthe\b")) - 1
-    stats = docs.select(
+    scores = lang_scores(text)
+    best, best_score = None, None
+    for lang in sorted(scores):  # alphabetical = language_id tie-break
+        cond = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), cond
+        else:
+            better = cond > best_score
+            best = F.when(better, F.lit(lang)).otherwise(best)
+            best_score = F.when(better, cond).otherwise(best_score)
+    return docs.select(
         "doc_id",
         F.when(F.trim(text) == "", 0)
         .otherwise(F.size(F.split(F.trim(text), r"\s+")))
@@ -753,11 +766,9 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_chars_computed"),
         F.round(punct.cast("double") / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
         the_hits.alias("the_count"),
+        best.alias("pred_lang"),
+        best_score.alias("lang_score"),
     )
-    lang = language_id(docs).select(
-        "doc_id", "pred_lang", F.col("score").alias("lang_score")
-    )
-    return stats.join(lang, "doc_id")
 
 
 def q_doc_textstats_sql() -> str:

@@ -120,44 +120,54 @@ def _bucketed(
     union of per-table re-scans (at corpus scale a T-way union re-reads
     the source T times).
 
-    The hyperplane matrix rides as a single constant-folded
-    ``array<array<double>>`` literal (row ``t*planes + p`` = hyperplane
-    (t, p)) and the T×P sign-bit buckets are computed by ONE nested
-    higher-order expression instead of T×P unrolled dot products —
-    unrolling built a Catalyst tree of tables×planes×dim literal nodes
-    (4096 for the near-dup defaults), which cost ~4s of driver-side
-    expression construction + analysis per query, dwarfing the actual
-    scan. Bucket values are bit-identical to the unrolled form: the
-    inner fold is the same left-to-right ``zip_with``+``aggregate`` dot,
-    the same ``>= 0`` sign rule, the same ``1 << p`` bit weights."""
-    mat = F.array(
-        *[
-            F.lit(_hyperplane(t, p, dim))
+    The T×P×dim sign-bit computation is ONE vectorized Arrow UDF
+    (``mapInPandas``): per record batch a numpy accumulation
+    ``acc += E[:, d] ⊗ W[:, d]`` over ascending ``d`` — the exact
+    left-to-right term order of the ``zip_with``+``aggregate`` fold it
+    replaces, so bucket values are BIT-IDENTICAL (same IEEE products,
+    same ``0.0`` init, same ``>= 0`` sign rule, same ``1 << p`` bit
+    weights; the emb_ann_lsh/emb_near_dup DuckDB oracles stay
+    hash-exact). History of this hot path: T×P unrolled literal dot
+    products cost ~4s of driver-side Catalyst analysis (4096 literal
+    nodes); the nested higher-order-function rewrite fixed analysis time
+    but evaluated interpreted per row (~1.8 ms/row = 3.5 s for the sf0.1
+    corpus, dwarfing the scan); the Arrow kernel does the same
+    arithmetic batch-at-a-time and emits the exploded ``(id, t,
+    bucket)`` rows directly."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(
+        [
+            _hyperplane(t, p, dim)
             for t in range(tables)
             for p in range(planes)
-        ]
-    )
-    per_table = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: F.struct(
-            t.alias("t"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(planes - 1)),
-                F.lit(0),
-                lambda acc, p: acc
-                + F.when(
-                    _dot(
-                        F.col("emb"),
-                        F.element_at(mat, (t * planes + p + 1).cast("int")),
-                    )
-                    >= 0,
-                    F.pow(F.lit(2.0), p).cast("int"),
-                ).otherwise(F.lit(0)),
-            ).alias("bucket"),
-        ),
-    )
-    return df.select(out_id, F.explode(per_table).alias("tb")).select(
-        out_id, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+        ],
+        dtype=np.float64,
+    )  # (T*P, dim)
+    bitw = np.array([1 << p for p in range(planes)], dtype=np.int64)
+    T, P = tables, planes
+
+    def compute(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(b), T * P))
+            for d in range(dim):  # ascending d = the HOF fold order
+                acc += E[:, d, None] * W[None, :, d]
+            bits = acc >= 0.0
+            buckets = (bits.reshape(len(b), T, P) * bitw).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(b[out_id].to_numpy(), T),
+                    "t": np.tile(np.arange(T), len(b)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(out_id, "emb").mapInPandas(
+        compute, schema=f"{out_id} long, t int, bucket int"
     )
 
 
@@ -340,15 +350,17 @@ def topk_cosine_ivf(
     """IVF (inverted-file) approximate top-k cosine — the
     partition-then-probe scale path.
 
-    Index build (all DataFrame ops, no UDF):
+    Index build:
       1. ``nlist`` deterministic seed centroids — the corpus rows with
          the smallest ``xxhash64(id)`` (a seeded uniform sample with no
          RNG state, reproducible across runs/partitionings).
       2. ``lloyd_rounds`` of Lloyd refinement: assign every vector to
-         its nearest centroid by cosine (broadcast centroids — nlist is
-         small by construction), then recompute each centroid as the
-         element-wise mean via ``posexplode`` + ``groupBy(cid, pos)`` —
-         one narrow shuffle per round keyed on (centroid, dimension).
+         its nearest centroid by cosine — one vectorized Arrow kernel
+         per round (``E @ Cᵀ`` against the driver-collected nlist×dim
+         centroid matrix; no shuffle, no per-row Python) — then
+         recompute each centroid as the element-wise mean via
+         ``posexplode`` + ``groupBy(cid, pos)``, one narrow shuffle per
+         round keyed on (centroid, dimension).
       3. Final assignment = the inverted lists, hash-partitioned by
          centroid id.
 
@@ -373,24 +385,40 @@ def topk_cosine_ivf(
     )
 
     def _assign(cent: DataFrame) -> DataFrame:
-        # nearest centroid via a hash aggregation (lexicographic min of
-        # (-sim, cid)) — a per-nid window here would sort the corpus
-        # after its shuffle; min-structs fold map-side instead
-        scored = c.crossJoin(F.broadcast(cent)).select(
-            "nid",
-            "cid",
-            cosine_col(F.col("emb"), F.col("c_emb")).alias("sim"),
+        # nearest centroid (max sim, ties → smallest cid) as ONE
+        # vectorized Arrow kernel: the nlist×dim centroid matrix is
+        # driver-collected (nlist is small by construction) and each
+        # record batch scores E @ Cᵀ in numpy — the corpus never
+        # shuffles for assignment at all. The previous form (crossJoin
+        # on broadcast centroids + interpreted HOF cosine + min-struct
+        # agg) evaluated ~nlist interpreted 64-dim folds per row and
+        # was the hot path of the index build.
+        import numpy as np
+        import pandas as pd
+
+        rows = cent.orderBy("cid").collect()
+        cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+        C = np.array([list(r["c_emb"]) for r in rows], dtype=np.float64)
+        Cn = np.sqrt((C * C).sum(axis=1))
+
+        def pick(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                E = np.asarray(b["emb"].tolist(), dtype=np.float64)
+                En = np.sqrt((E * E).sum(axis=1))
+                sims = (E @ C.T) / (En[:, None] * Cn[None, :])
+                # argmax keeps the FIRST max — cids ascend, so ties
+                # resolve to the smallest cid like the (-sim, cid)
+                # lexicographic min it replaces
+                best = cids[np.argmax(sims, axis=1)]
+                yield pd.DataFrame(
+                    {"nid": b["nid"], "emb": b["emb"], "cid": best}
+                )
+
+        return c.mapInPandas(
+            pick, schema="nid long, emb array<double>, cid int"
         )
-        best = (
-            scored.groupBy("nid")
-            .agg(
-                F.min(
-                    F.struct((-F.col("sim")).alias("ns"), F.col("cid").alias("cid"))
-                ).alias("pick")
-            )
-            .select("nid", F.col("pick.cid").alias("cid"))
-        )
-        return c.join(best, "nid").select("nid", "emb", "cid")
 
     cent = centroids
     for _ in range(lloyd_rounds):

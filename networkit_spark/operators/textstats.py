@@ -24,11 +24,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def _count_occurrences(text: Column, needle: str) -> Column:
     """Occurrences of `` needle `` in `` text `` (word-boundary via space
-    padding), by replace-length arithmetic — portable to any SQL engine."""
+    padding), by replace-length arithmetic — portable to any SQL engine.
+    Plain-string ``replace`` (the pattern has no metacharacters), not a
+    regex scan: the 20 marker probes were the hot path of language_id,
+    and both engines define replace as the same non-overlapping
+    left-to-right rule the regex version used."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     pat = f" {needle} "
     return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, pat, "")))
+        (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
         / len(pat)
     ).cast("long")
 
