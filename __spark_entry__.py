@@ -741,23 +741,14 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax columns are inlined next to the stats columns instead of
     joined back (both are per-row functions of the same scan; the old
     self-join was a pure shuffle tax)."""
-    from networkit_spark.operators.textstats import lang_scores
+    from networkit_spark.operators.textstats import lang_argmax
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text = F.col("text")
     n = F.length(text)
     punct = n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
     the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\bthe\b")) - 1
-    scores = lang_scores(text)
-    best, best_score = None, None
-    for lang in sorted(scores):  # alphabetical = language_id tie-break
-        cond = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), cond
-        else:
-            better = cond > best_score
-            best = F.when(better, F.lit(lang)).otherwise(best)
-            best_score = F.when(better, cond).otherwise(best_score)
+    best, best_score = lang_argmax(text)
     return docs.select(
         "doc_id",
         F.when(F.trim(text) == "", 0)

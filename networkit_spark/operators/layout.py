@@ -310,10 +310,12 @@ class PivotMDS(LayoutAlgorithm):
             for d, v in enumerate(eigvecs)
         ]
         coords = rows_c.select("id", *pos_cols)
-        # nodes unreachable from every pivot have a zero C row → origin
-        self._coords = (
-            g.vertices.join(coords, "id", "left")
-            .select(
+        # nodes unreachable from every pivot have a zero C row → origin;
+        # materialize (lineage cut) BEFORE dropping rows_c so repeated
+        # coordinates() actions don't re-run the centering pipeline
+        self._coords = Materializer().cut(
+            1,
+            g.vertices.join(coords, "id", "left").select(
                 "id",
                 F.array(
                     *[
@@ -321,7 +323,7 @@ class PivotMDS(LayoutAlgorithm):
                         for d in range(self.dim)
                     ]
                 ).alias("pos"),
-            )
+            ),
         )
         rows_c.unpersist()
 
@@ -539,7 +541,8 @@ class MaxentStress(LayoutAlgorithm):
             )
         if self.k == 1:
             return direct
-        ball = self._hop_pairs(self.k).where(F.col("depth") >= 2)
+        ball_all = self._hop_pairs(self.k)
+        ball = ball_all.where(F.col("depth") >= 2)
         if not g.weighted:
             extra = ball.select(
                 F.col("s").alias("src"),
@@ -547,9 +550,7 @@ class MaxentStress(LayoutAlgorithm):
                 F.col("depth").cast("double").alias("d"),
             )
         else:
-            # true weighted distances for the 2..k-hop pairs — the
-            # reference's full-graph Dijkstra values
-            wd = multi_source_weighted_distances(g, None)
+            wd = self._ball_weighted_distances(ball_all)
             extra = ball.join(
                 wd,
                 (ball.s == wd.s) & (ball.id == wd.id),
@@ -557,6 +558,74 @@ class MaxentStress(LayoutAlgorithm):
                 ball.s.alias("src"), ball.id.alias("dst"), F.col("d")
             )
         return direct.unionAll(extra)
+
+    def _ball_weighted_distances(self, ball_all: DataFrame) -> DataFrame:
+        """Weighted distances for the k-hop-ball pairs — a batched
+        all-source relaxation whose state is RESTRICTED to the ball
+        pairs (one semi-join per round), so executor state is
+        O(Σ|ball_k|), never O(n²).
+
+        Documented divergence from ``addKNeighborhoodOfVertex``
+        (MaxentStress.cpp:498-518): the reference's per-source Dijkstra
+        may route a ball member's shortest path through nodes OUTSIDE
+        the k-hop ball; here paths are ball-internal, so a distance can
+        read higher than the reference's exactly when the true shortest
+        path leaves the ball — the price of a bounded distributed state
+        for what is a locality heuristic to begin with.
+        """
+        g = self.graph
+        mat = Materializer()
+        adj = (
+            g.symmetrized()
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("weight").alias("w"))
+        )
+        spark = g.edges.sparkSession
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        adj = adj.repartition(shuffle_parts, "src").persist()
+        allowed = ball_all.select("s", "id").persist()
+        state = g.vertices.select(
+            F.col("id").alias("s"), "id", F.lit(0.0).alias("d")
+        ).withColumn("improved", F.lit(True))
+        state = mat.cut(0, state)
+        for rnd in range(1, 10_001):
+            frontier = state.where("improved")
+            if frontier.limit(1).count() == 0:
+                break
+            gathered = (
+                adj.join(
+                    frontier.select(
+                        F.col("id").alias("src"), "s", F.col("d").alias("du")
+                    ).hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy("s", F.col("dst").alias("id"))
+                .agg(F.min(F.col("du") + F.col("w")).alias("cand"))
+                .join(allowed, ["s", "id"], "left_semi")
+            )
+            merged = (
+                state.select("s", "id", "d")
+                .join(gathered, ["s", "id"], "full_outer")
+                .select(
+                    "s", "id",
+                    F.least(
+                        F.coalesce("d", F.lit(float("inf"))),
+                        F.coalesce("cand", F.lit(float("inf"))),
+                    ).alias("d"),
+                    (
+                        F.col("d").isNull() | (F.col("cand") < F.col("d"))
+                    ).alias("improved"),
+                )
+            )
+            state = mat.cut(rnd, merged)
+        else:
+            adj.unpersist()
+            allowed.unpersist()
+            raise RuntimeError("ball-restricted SSSP did not settle")
+        adj.unpersist()
+        allowed.unpersist()
+        return state.select("s", "id", "d")
 
     # --------------------------------------------------- initial layout
     def _initial_coordinates(self) -> DataFrame:
@@ -1085,8 +1154,13 @@ class MaxentStress(LayoutAlgorithm):
             ).alias("energy"),
             F.sum(ent2).alias("s_ent"),
         ).collect()[0]
-        energy = float(r["energy"])
-        entropy -= float(r["s_ent"])
+        # ×2: the reference re-adds every symmetric knownDistances entry
+        # as a SECOND parallel undirected edge (MaxentStress.cpp:269-275
+        # addEdge over both orientations), so its forNeighborsOf sweep
+        # visits each unordered S pair 4 times where the symmetric
+        # 2-rows-per-pair S frame holds it twice
+        energy = 2.0 * float(r["energy"])
+        entropy -= 2.0 * float(r["s_ent"])
         if abs(self.q) > 0.001:
             entropy *= -(1.0 if self.q >= 0.0 else -1.0)
         energy -= self.final_alpha * entropy

@@ -48,21 +48,28 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """``(doc_id, pred_lang, score)`` — argmax marker count, ties to the
-    alphabetically first language."""
-    scores = lang_scores(F.col(text_col))
-    langs = sorted(scores)  # alphabetical = tie-break order
-    best = None
-    for lang in langs:
+def lang_argmax(text: Column) -> tuple[Column, Column]:
+    """``(pred_lang, score)`` columns — argmax marker count over
+    `` LANG_MARKERS ``, ties to the alphabetically first language. The
+    single definition of the tie-break shared by :func:`language_id`
+    and the merged ``doc_textstats`` entry query."""
+    scores = lang_scores(text)
+    best, best_score = None, None
+    for lang in sorted(scores):  # alphabetical = tie-break order
         cond = scores[lang]
         if best is None:
-            best = F.lit(lang)
-            best_score = cond
+            best, best_score = F.lit(lang), cond
         else:
             better = cond > best_score
             best = F.when(better, F.lit(lang)).otherwise(best)
             best_score = F.when(better, cond).otherwise(best_score)
+    return best, best_score
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, pred_lang, score)`` — argmax marker count, ties to the
+    alphabetically first language."""
+    best, best_score = lang_argmax(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         best.alias("pred_lang"),

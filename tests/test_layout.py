@@ -354,3 +354,25 @@ def test_maxent_algebraic_distance_mode(spark):
     pos = {int(r["id"]): list(r["pos"]) for r in algo.coordinates().collect()}
     assert len(pos) == NG
     assert all(np.isfinite(p).all() for p in map(np.array, pos.values()))
+
+
+def test_maxent_default_loop_shape(spark):
+    # fast_computation=False (the default): convergence inside an alpha
+    # level is deliberately discarded (converged -> False, keep
+    # solving), the rhs-normalization cutoff max_solves_per_alpha//5
+    # covers solve 0 only, and the repulsive refresh follows the
+    # floor(5 ln s) schedule across TWO alpha levels (current_lb
+    # carries over)
+    g = _grid_graph(spark)
+    pm = PivotMDS(g, dim=2, num_pivots=4, seed=3).run()
+    algo = MaxentStress(
+        g, dim=2, k=1, tolerance=1e-5,
+        coordinates=pm.coordinates(), fast_computation=False,
+        max_solves_per_alpha=3,
+    )
+    algo.set_alpha(0.03)  # levels: 0.03, 0.009 -> stop (0.0027 < 0.008)
+    algo.run()
+    pos = {int(r["id"]): list(r["pos"]) for r in algo.coordinates().collect()}
+    assert len(pos) == NG
+    assert all(np.isfinite(p).all() for p in map(np.array, pos.values()))
+    assert algo.mean_distance_error() < 0.5
