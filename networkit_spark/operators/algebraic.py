@@ -59,14 +59,28 @@ def laplacian_cg_solve(
     rhs: DataFrame,
     tol: float = 1e-10,
     max_iters: int = 2000,
+    preconditioner: str = "identity",
 ) -> DataFrame:
     """Solve ``L x = b`` for every system in ``rhs (sys, id, b)`` at
     once; returns ``(sys, id, x)`` with x mean-zero per system (the
     pseudoinverse solution). The graph must be connected and every b is
     mean-centered first (the consistent projection). Convergence:
-    ``‖r‖₂ ≤ tol·max(1, ‖b‖₂)`` per system."""
+    ``‖r‖₂ ≤ tol·max(1, ‖b‖₂)`` per system.
+
+    ``preconditioner``: ``"identity"`` (plain CG — the reference's
+    ``ConjugateGradient<IdentityPreconditioner>``) or ``"diagonal"``
+    (Jacobi PCG, ``M = diag(L) = wd`` — its
+    ``ConjugateGradient<DiagonalPreconditioner>``,
+    ``include/networkit/numerics/Preconditioner/DiagonalPreconditioner.hpp``).
+    The preconditioned residual ``z = r/wd`` costs no extra jobs (the
+    ``r·z`` sums ride in the existing per-iteration aggregates); on
+    weight-skewed Laplacians it cuts iteration count, which here means
+    cut ROUNDS — each CG iteration is one distributed join-agg."""
     if graph.directed:
         raise ValueError("Laplacian solves need an undirected graph")
+    if preconditioner not in ("identity", "diagonal"):
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+    diag = preconditioner == "diagonal"
     spark = graph.edges.sparkSession
     mat = Materializer()
     adj, wdeg = _laplacian_parts(graph)
@@ -83,17 +97,24 @@ def laplacian_cg_solve(
             "sys", "id", (F.coalesce("b", F.lit(0.0)) - F.col("mb")).alias("b")
         )
     )
+    wd_g = F.greatest(F.col("wd"), F.lit(1e-300))
     state = b0.join(wdeg, "id", "left").select(
         "sys", "id",
         F.lit(0.0).alias("x"),
         F.col("b").alias("r"),
-        F.col("b").alias("p"),
         F.coalesce("wd", F.lit(0.0)).alias("wd"),
+    ).select(
+        "sys", "id", "x", "r", "wd",
+        ((F.col("r") / wd_g) if diag else F.col("r")).alias("p"),
     )
     state = mat.cut(0, state)
-    first = state.groupBy("sys").agg(F.sum(F.col("r") ** 2).alias("n2")).collect()
+    first_aggs = [F.sum(F.col("r") ** 2).alias("n2")]
+    if diag:
+        first_aggs.append(F.sum(F.col("r") * F.col("r") / wd_g).alias("rz"))
+    first = state.groupBy("sys").agg(*first_aggs).collect()
     norms = {r["sys"]: max(1.0, math.sqrt(r["n2"])) for r in first}
     rs_old = {r["sys"]: r["n2"] for r in first}
+    rz_old = {r["sys"]: (r["rz"] if diag else r["n2"]) for r in first}
     done = {s for s, v in rs_old.items() if math.sqrt(v) <= tol * norms[s]}
 
     for it in range(1, max_iters + 1):
@@ -127,7 +148,7 @@ def laplacian_cg_solve(
             if s in done or pap <= 0:
                 alphas[s] = 0.0
             else:
-                alphas[s] = rs_old[s] / pap
+                alphas[s] = rz_old[s] / pap
         adf = spark.createDataFrame(
             [(s, a) for s, a in alphas.items()], "sys long, alpha double"
         )
@@ -138,30 +159,32 @@ def laplacian_cg_solve(
             "p", "wd",
         )
         updated = mat.cut(it, updated)
-        rs_new = {
-            r["sys"]: r["n2"]
-            for r in updated.groupBy("sys")
-            .agg(F.sum(F.col("r") ** 2).alias("n2"))
-            .collect()
-        }
+        upd_aggs = [F.sum(F.col("r") ** 2).alias("n2")]
+        if diag:
+            upd_aggs.append(F.sum(F.col("r") * F.col("r") / wd_g).alias("rz"))
+        upd_rows = updated.groupBy("sys").agg(*upd_aggs).collect()
+        rs_new = {r["sys"]: r["n2"] for r in upd_rows}
+        rz_new = {r["sys"]: (r["rz"] if diag else r["n2"]) for r in upd_rows}
         betas = {}
         for s in rs_new:
-            if s in done or rs_old[s] <= 0:
+            if s in done or rz_old[s] <= 0:
                 betas[s] = 0.0
             else:
-                betas[s] = rs_new[s] / rs_old[s]
+                betas[s] = rz_new[s] / rz_old[s]
             if math.sqrt(rs_new[s]) <= tol * norms[s]:
                 done.add(s)
         bdf = spark.createDataFrame(
             [(s, b) for s, b in betas.items()], "sys long, beta double"
         )
+        znew = (F.col("r") / wd_g) if diag else F.col("r")
         state = updated.join(F.broadcast(bdf), "sys").select(
             "sys", "id", "x", "r",
-            (F.col("r") + F.col("beta") * F.col("p")).alias("p"),
+            (znew + F.col("beta") * F.col("p")).alias("p"),
             "wd",
         )
         state = mat.cut(it, state)
         rs_old = rs_new
+        rz_old = rz_new
     else:
         adj.unpersist()
         raise RuntimeError(

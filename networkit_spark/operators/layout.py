@@ -406,11 +406,17 @@ class MaxentStress(LayoutAlgorithm):
         max_solves_per_alpha: int = 50,
         cells_per_axis: int = 8,
         cg_max_iters: int = 300,
+        solver: str = "cg",
     ) -> None:
         if dim <= 0 or k <= 0:
             raise ValueError("dim and k must be positive")
         if graph_distance not in (self.EDGE_WEIGHT, self.ALGEBRAIC_DISTANCE):
             raise ValueError(f"unknown graph_distance {graph_distance!r}")
+        # the reference's LinearSolverType: "cg" = identity-precond CG,
+        # "cg_diagonal" = DiagonalPreconditioner PCG; LAMG is a further
+        # preconditioner choice behind the same solve contract (⏭)
+        if solver not in ("cg", "cg_diagonal"):
+            raise ValueError(f"unknown solver {solver!r}")
         super().__init__(graph, dim)
         self.k = int(k)
         self.tolerance = float(tolerance)
@@ -421,6 +427,7 @@ class MaxentStress(LayoutAlgorithm):
         self.max_solves_per_alpha = int(max_solves_per_alpha)
         self.cells_per_axis = int(cells_per_axis)
         self.cg_max_iters = int(cg_max_iters)
+        self.solver = solver
         # model knobs + reference defaults (MaxentStress.cpp:26)
         self.q = 0.0
         self.alpha = 1.0
@@ -954,6 +961,9 @@ class MaxentStress(LayoutAlgorithm):
                     long_rhs.select("sys", "id", "b"),
                     tol=self.tolerance,
                     max_iters=self.cg_max_iters,
+                    preconditioner=(
+                        "diagonal" if self.solver == "cg_diagonal" else "identity"
+                    ),
                 )
                 new_coords = (
                     sol.groupBy("id")

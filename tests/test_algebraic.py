@@ -133,3 +133,30 @@ def test_cg_guards(spark):
     )
     with pytest.raises(RuntimeError, match="connected"):
         laplacian_cg_solve(g2, rhs, max_iters=20)
+
+
+def test_cg_diagonal_preconditioner_matches_pinv(spark):
+    # Jacobi PCG (the reference's DiagonalPreconditioner config) solves
+    # the same systems to the same pseudoinverse solution
+    g = _g(spark)
+    lp, _ = _lpinv()
+    rhs = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 3, -1.0), (1, 2, 1.0), (1, 4, -1.0)],
+        "sys long, id long, b double",
+    )
+    sol = {
+        (r["sys"], r["id"]): r["x"]
+        for r in laplacian_cg_solve(
+            g, rhs, preconditioner="diagonal"
+        ).collect()
+    }
+    b0 = np.zeros(N); b0[0], b0[3] = 1, -1
+    b1 = np.zeros(N); b1[2], b1[4] = 1, -1
+    for sysid, b in ((0, b0), (1, b1)):
+        x = lp @ b
+        x -= x.mean()
+        for i in range(N):
+            assert sol[(sysid, i)] == pytest.approx(x[i], abs=1e-7)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="preconditioner"):
+        laplacian_cg_solve(g, rhs, preconditioner="ilu")
