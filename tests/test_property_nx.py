@@ -1,0 +1,120 @@
+"""Property-based cross-validation against networkx: hypothesis draws
+small random edge lists and every drawn graph must agree with networkx
+(an INDEPENDENT implementation, not our own oracle SQL) on degrees,
+connected components (as partitions), per-node triangle counts, local
+clustering coefficients, and core numbers.
+
+Only invariants whose semantics the reference and networkx define
+identically are compared (PageRank is excluded: networkx redistributes
+dangling mass, the reference — and this engine — deliberately does
+not, `operators/pagerank.py`). Examples are few (Spark jobs are
+seconds each); hypothesis still explores the degenerate corners —
+self-loop-only rows, parallel edges, isolated ids, single-edge graphs."""
+
+import pytest
+
+try:
+    import networkx as nx
+except ImportError:  # pragma: no cover
+    pytest.skip("networkx not installed", allow_module_level=True)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from networkit_spark import (
+    ConnectedComponents,
+    CoreDecomposition,
+    Graph,
+    LocalClusteringCoefficient,
+)
+
+N_MAX = 12
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=N_MAX - 1),
+        st.integers(min_value=0, max_value=N_MAX - 1),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+PROP = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _simple(edges):
+    """Simple undirected graph (no self-loops, deduped) both ways."""
+    es = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    return es
+
+
+def _graphs(spark, edges):
+    es = _simple(edges)
+    if not es:
+        return None, None
+    n = max(max(u, v) for u, v in es) + 1
+    g = Graph.from_edge_list(spark, es, num_nodes=n)
+    nxg = nx.Graph()
+    nxg.add_nodes_from(range(n))
+    nxg.add_edges_from(es)
+    return g, nxg
+
+
+@given(edges=edge_lists)
+@PROP
+def test_degrees_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    got = {int(r["id"]): int(r["out_deg"]) for r in g.degrees().collect()}
+    for u in nxg.nodes:
+        assert got[u] == nxg.degree(u)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_components_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    cc = ConnectedComponents(g).run()
+    lab = {int(r["id"]): int(r["label"]) for r in cc.get_partition().collect()}
+    comps = {frozenset(c) for c in nx.connected_components(nxg)}
+    got = {}
+    for u, l in lab.items():
+        got.setdefault(l, set()).add(u)
+    assert {frozenset(c) for c in got.values()} == comps
+
+
+@given(edges=edge_lists)
+@PROP
+def test_triangles_and_lcc_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    lcc = LocalClusteringCoefficient(g).run()
+    got = {int(r["id"]): int(r["triangles"]) for r in lcc.triangles().collect()}
+    want = nx.triangles(nxg)
+    for u in nxg.nodes:
+        assert got.get(u, 0) == want[u]
+    gotc = {int(r["id"]): float(r["score"]) for r in lcc.scores().collect()}
+    wantc = nx.clustering(nxg)
+    for u in nxg.nodes:
+        assert gotc.get(u, 0.0) == pytest.approx(wantc[u], abs=1e-9)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_core_numbers_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    kc = CoreDecomposition(g).run()
+    got = {int(r["id"]): int(r["core"]) for r in kc.core_numbers().collect()}
+    want = nx.core_number(nxg)
+    for u in nxg.nodes:
+        assert got.get(u, 0) == want[u]
