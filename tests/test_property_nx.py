@@ -179,3 +179,106 @@ def test_assortativity_matches_edgewise_pearson(spark, edges):
     # edge direction in the canonical list: our frame uses (min,max)
     # like nx.Graph edge iteration, so the pairs line up
     assert got == pytest.approx(want, abs=1e-9)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_pagerank_matches_networkx_when_no_dangling(spark, edges):
+    # on a connected undirected graph with no isolated nodes there is
+    # no dangling mass, so networkx's pagerank (which redistributes it)
+    # and the reference semantics (which do not) coincide
+    g, nxg = _graphs(spark, edges)
+    if g is None or not nx.is_connected(nxg):
+        return
+    import numpy as np
+
+    from networkit_spark import PageRank
+
+    pr = PageRank(g, damp=0.85, tol=1e-12, norm="l1").run()
+    got = {int(r["id"]): float(r["score"]) for r in pr.scores().collect()}
+    # textbook dense power iteration (nx.pagerank needs scipy, absent
+    # here) — an independent oracle of the same no-dangling semantics
+    n = nxg.number_of_nodes()
+    A = np.zeros((n, n))
+    for u, v in nxg.edges():
+        A[u, v] = A[v, u] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(2000):
+        nr = 0.15 / n + 0.85 * (P.T @ r)
+        if np.abs(nr - r).sum() < 1e-15:
+            r = nr
+            break
+        r = nr
+    for u in nxg.nodes:
+        assert got[u] == pytest.approx(r[u], abs=1e-8)
+
+
+@given(edges=edge_lists)
+@PROP
+def test_scc_matches_networkx(spark, edges):
+    # directed draws: keep self-loop-free distinct arcs as given
+    es = sorted({(u, v) for u, v in edges if u != v})
+    if not es:
+        return
+    n = max(max(u, v) for u, v in es) + 1
+    g = Graph.from_edge_list(spark, es, directed=True, num_nodes=n)
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(range(n))
+    nxg.add_edges_from(es)
+    from networkit_spark import StronglyConnectedComponents
+
+    scc = StronglyConnectedComponents(g).run()
+    lab = {int(r["id"]): int(r["label"]) for r in scc.get_partition().collect()}
+    got = {}
+    for u, l in lab.items():
+        got.setdefault(l, set()).add(u)
+    want = {frozenset(c) for c in nx.strongly_connected_components(nxg)}
+    assert {frozenset(c) for c in got.values()} == want
+
+
+@given(edges=edge_lists, seed=st.integers(min_value=0, max_value=10))
+@PROP
+def test_msf_weight_matches_networkx(spark, edges, seed):
+    # distinct deterministic weights -> the MSF is unique, so total
+    # weight AND edge set must agree with networkx
+    import hashlib
+
+    es = _simple(edges)
+    if not es:
+        return
+    n = max(max(u, v) for u, v in es) + 1
+    wed = [
+        (u, v, 1.0 + int(hashlib.md5(f"{seed}:{u}:{v}".encode()).hexdigest()[:6], 16))
+        for u, v in es
+    ]
+    g = Graph.from_edge_list(spark, wed, weighted=True, num_nodes=n)
+    nxg = nx.Graph()
+    nxg.add_nodes_from(range(n))
+    nxg.add_weighted_edges_from(wed)
+    from networkit_spark.operators.spanning import MinimumSpanningForest
+
+    msf = MinimumSpanningForest(g).run()
+    got = {
+        (min(int(r["src"]), int(r["dst"])), max(int(r["src"]), int(r["dst"])))
+        for r in msf.get_forest().collect()
+    }
+    want = {
+        (min(u, v), max(u, v))
+        for u, v in nx.minimum_spanning_edges(nxg, data=False)
+    }
+    assert got == want
+
+
+@given(edges=edge_lists)
+@PROP
+def test_maximal_cliques_match_networkx(spark, edges):
+    g, nxg = _graphs(spark, edges)
+    if g is None:
+        return
+    from networkit_spark.operators.cliques import MaximalCliques
+
+    mc = MaximalCliques(g).run()
+    got = {frozenset(int(x) for x in r["c"]) for r in mc.get_cliques().collect()}
+    want = {frozenset(c) for c in nx.find_cliques(nxg)}
+    assert got == want
