@@ -46,6 +46,7 @@ EXEC_MEM = os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")
 # cores per executor JVM (real clusters run multi-core executors; a
 # 1-core executor pays GC + shuffle serialization on its only core)
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
 DRIVER_CPUS = "28-31"  # disjoint from any worker pinning below
 
 JOB = r"""
@@ -74,17 +75,17 @@ m = g.number_of_edges()
 pw = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
 pw.scores().write.format("noop").mode("overwrite").save()
 walls = []
-for _ in range(5):
+for _ in range(RUNS_PLACEHOLDER):
     t0 = time.time()
     pr = PageRank(g, damp=0.85, tol=0.0, norm="l1", max_iterations=iters).run()
     pr.scores().write.format("noop").mode("overwrite").save()
     walls.append(time.time() - t0)
 wall = sorted(walls)[len(walls) // 2]
 print("RESULT " + json.dumps({
-    "executors": cores // EXEC_CORES_PLACEHOLDER, "exec_cores": EXEC_CORES_PLACEHOLDER, "edges": m,
+    "executors": cores // XWIDTH_PLACEHOLDER, "exec_cores": XWIDTH_PLACEHOLDER, "edges": m,
     "iterations": pr.number_of_iterations(),
     "wall_s": round(wall, 3), "wall_s_runs": [round(w, 3) for w in walls],
-    "wall_basis": "median-of-5",
+    "wall_basis": f"median-of-{RUNS_PLACEHOLDER}",
     "edges_per_sec_per_iter": round(m * pr.number_of_iterations() / wall, 1),
     "edges_per_sec_per_iter_best": round(
         m * pr.number_of_iterations() / min(walls), 1),
@@ -159,7 +160,8 @@ def run_level(cores: int, sf_dir: str, pyzip: str) -> dict:
             .replace("SF_PLACEHOLDER", repr(sf_dir))
             .replace("REPL_PLACEHOLDER", str(REPLICAS))
             .replace("ITERS_PLACEHOLDER", str(ITERS))
-            .replace("EXEC_CORES_PLACEHOLDER", str(EXEC_CORES))
+            .replace("XWIDTH_PLACEHOLDER", str(EXEC_CORES))
+            .replace("RUNS_PLACEHOLDER", str(RUNS))
         )
         job_path = f"/tmp/standalone_job_{cores}.py"
         with open(job_path, "w") as f:
