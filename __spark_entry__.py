@@ -1838,7 +1838,10 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node2Vec embeddings (p=0.5, q=2.0) — rows+schema gate (the
     walk sampler is a seeded stochastic estimator with no closed SQL
     form; walk validity / determinism / finiteness are pytest-gated in
-    tests/test_node2vec.py). Returns one unit-L2 feature row per node."""
+    tests/test_node2vec.py). The ``dim``-wide feature vector is
+    flattened with ``posexplode`` to scalar ``(id, pos, value)`` rows
+    so the driver's canonicalizer (pandas sort over all columns) can
+    sort/hash the frame — an array column is unhashable there."""
     from networkit_spark.operators.node2vec import Node2Vec
 
     g = undirected_graph(spark, sf_dir)
@@ -1846,9 +1849,10 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, p=0.5, q=2.0, walk_length=6, walks_per_node=2, dim=8,
         window=3, seed=7,
     ).run()
-    return n2v.get_features().select(
-        "id", F.transform("feature", lambda x: F.round(x, 6)).alias("feature")
+    feats = n2v.get_features().select(
+        "id", F.posexplode("feature").alias("pos", "value")
     )
+    return feats.select("id", "pos", F.round("value", 6).alias("value"))
 
 
 def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,6 +273,7 @@ def cosine_near_dup_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Corpus×corpus near-duplicate pairs at scale: LSH-bucketed
     candidate generation + exact cosine verification.
@@ -286,18 +287,33 @@ def cosine_near_dup_lsh(
     precision is 1.0; recall grows with ``tables`` (pytest measures it
     against :func:`cosine_near_dup`).
 
-    Scale note: a degenerate bucket (all-near-identical embeddings,
-    e.g. zero-vector padding) would quadratic-blow one reducer; the
-    same count-before-pair cap strategy as MinHash LSH
-    (``dedup.py``) applies — keep ``planes`` high enough that expected
-    bucket size stays bounded (N / 2^planes per table).
+    Scale guard: a degenerate bucket (all-near-identical embeddings,
+    e.g. zero-vector padding) would quadratic-blow one reducer, so
+    buckets are sized FIRST with a map-side-combined ``COUNT`` and any
+    bucket over ``max_bucket`` members is dropped from pairing — the
+    same count-before-pair cap as MinHash LSH
+    (:func:`networkit_spark.operators.dedup.minhash_candidates`). At
+    web scale such buckets are boilerplate/padding clusters handled as
+    groups, not pairs; a dropped bucket in one table does not drop the
+    pair globally (it can still surface via the other ``tables-1``
+    independent tables).
     """
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
     )
-    vb = _bucketed(v, "vid", tables, planes, dim)
-    left = vb.select("t", "bucket", F.col("vid").alias("id_a"))
-    right = vb.select("t", "bucket", F.col("vid").alias("id_b"))
+    # persisted: read again for the size agg and both sides of the
+    # pair self-join
+    vb = _bucketed(v, "vid", tables, planes, dim).persist()
+    # size first with a COUNT (safe for any bucket size), never
+    # collect_list: a degenerate bucket would otherwise materialize its
+    # whole member array in one reducer before the guard could drop it
+    sized = vb.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    ok = sized.where((F.col("sz") > 1) & (F.col("sz") <= max_bucket)).select(
+        "t", "bucket"
+    )
+    kept = vb.join(ok, ["t", "bucket"])
+    left = kept.select("t", "bucket", F.col("vid").alias("id_a"))
+    right = kept.select("t", "bucket", F.col("vid").alias("id_b"))
     # dedupe bare id pairs (hash aggregate on two longs), THEN re-attach
     # embeddings — arrays never ride through the dedup shuffle
     cand = (

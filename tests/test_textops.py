@@ -186,6 +186,27 @@ def test_cosine_near_dup_lsh_recall(vectors):
     assert len(approx & exact) / len(exact) == 1.0
 
 
+def test_cosine_near_dup_lsh_bucket_cap(spark):
+    from networkit_spark.operators.similarity import cosine_near_dup_lsh
+
+    # degenerate corpus: every embedding identical → one bucket per
+    # table holds the whole corpus. With the count-first cap the pair
+    # self-join must yield zero candidates instead of C(n,2) in one
+    # reducer.
+    n = 40
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = cosine_near_dup_lsh(
+        vecs, threshold=0.5, planes=2, tables=4, dim=4, max_bucket=n - 1
+    )
+    assert capped.count() == 0
+    # raising the cap above the corpus size restores all pairs
+    full = cosine_near_dup_lsh(
+        vecs, threshold=0.5, planes=2, tables=4, dim=4, max_bucket=n
+    )
+    assert full.count() == n * (n - 1) // 2
+
+
 def test_topk_cosine_ivf_recall(vectors):
     from networkit_spark.operators.similarity import topk_cosine, topk_cosine_ivf
 
