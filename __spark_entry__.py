@@ -1822,16 +1822,98 @@ def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biconnected components (Tarjan–Vishkin over the BFS forest) on
-    the thinned undirected graph — per-edge block labels. Golden-gated:
-    pytest compares block partitions against a textbook sequential
-    Tarjan on fixed and random graphs (tests/test_biconnected.py); the
-    driver row is rows+schema (block structure has no closed SQL form
-    within the oracle's round budget)."""
+    the thinned undirected graph — per-edge block labels, relabeled
+    canonically (block = min canonical edge id ``u * V_TINY + v`` over
+    the block's edges) so the label is independent of the engine's
+    spanning-tree choice. Hash-gated against a DuckDB oracle built on
+    the textbook characterization: edges {w,a} and {w,b} share a block
+    iff a and b are connected in G − w (the cycle w-a-…-b-w); the
+    transitive closure over shared vertices is the block partition
+    (cpp/components/BiconnectedComponents.cpp:36-127 computes the same
+    partition via DFS low-points). Additionally golden-gated: pytest
+    compares partitions against a sequential Tarjan on fixed and
+    random graphs (tests/test_biconnected.py)."""
     from networkit_spark.operators.biconnected import BiconnectedComponents
 
     g = _thin_undirected_graph(spark, sf_dir)
     bc = BiconnectedComponents(g).run()
-    return bc.edge_components().select("u", "v", "block")
+    ec = bc.edge_components()
+    canon = ec.groupBy("block").agg(
+        F.min(F.col("u") * V_TINY + F.col("v")).alias("cblock")
+    )
+    return ec.join(canon, "block").select(
+        "u", "v", F.col("cblock").alias("block")
+    )
+
+
+_BICON_W_ROUNDS = 14  # per-w hash-min rounds ≥ max diameter of G−w
+_BICON_E_ROUNDS = 12  # edge-graph hash-min rounds ≥ max block diameter
+# (measured at sf0.001/sf0.01: labels converge well inside both budgets —
+# scripts-level prototype matched a sequential Tarjan exactly; a
+# non-converged unroll shows as a visible hash MISMATCH, never a pass)
+
+
+def q_biconnected_sql() -> str:
+    """DuckDB twin of the block partition: (1) hash-min CC of G − w for
+    every vertex w simultaneously (state keyed by w), (2) base pairs —
+    canonical edge ids {w,a},{w,b} with a,b co-labeled in G − w, (3)
+    hash-min over the edge graph; min edge id per component IS the
+    canonical block label. Bridges never pair and keep their own id."""
+    C = V_TINY
+    wsteps = [
+        """wlab0 AS MATERIALIZED (
+  SELECT n.id AS w, v.id AS id, v.id AS label
+  FROM nodes n JOIN nodes v ON v.id <> n.id
+)"""
+    ]
+    for k in range(1, _BICON_W_ROUNDS + 1):
+        wsteps.append(
+            f"""wlab{k} AS MATERIALIZED (
+  SELECT l.w, l.id, least(l.label, coalesce(m.ml, l.label)) AS label
+  FROM wlab{k - 1} l LEFT JOIN (
+    SELECT l2.w, s.dst AS id, min(l2.label) AS ml
+    FROM wlab{k - 1} l2 JOIN e s ON s.src = l2.id
+    WHERE s.dst <> l2.w
+    GROUP BY l2.w, s.dst
+  ) m ON m.w = l.w AND m.id = l.id
+)"""
+        )
+    WR = _BICON_W_ROUNDS
+    esteps = ["elab0 AS (SELECT eid, eid AS label FROM eids)"]
+    for k in range(1, _BICON_E_ROUNDS + 1):
+        esteps.append(
+            f"""elab{k} AS MATERIALIZED (
+  SELECT l.eid, least(l.label, coalesce(m.ml, l.label)) AS label
+  FROM elab{k - 1} l LEFT JOIN (
+    SELECT s.b AS eid, min(l2.label) AS ml
+    FROM esym s JOIN elab{k - 1} l2 ON l2.eid = s.a GROUP BY s.b
+  ) m USING (eid)
+)"""
+        )
+    return f"""
+WITH {_SQL_THIN_UNDIRECTED},
+{",".join(wsteps)},
+inc AS MATERIALIZED (
+  SELECT src AS w, dst AS other, src * {C} + dst AS eid FROM eu
+  UNION ALL
+  SELECT dst AS w, src AS other, src * {C} + dst AS eid FROM eu
+),
+epairs AS MATERIALIZED (
+  SELECT i1.eid AS a, i2.eid AS b
+  FROM inc i1
+  JOIN wlab{WR} la ON la.w = i1.w AND la.id = i1.other
+  JOIN inc i2 ON i2.w = i1.w AND i2.eid > i1.eid
+  JOIN wlab{WR} lb ON lb.w = i1.w AND lb.id = i2.other
+  WHERE la.label = lb.label
+),
+esym AS MATERIALIZED (
+  SELECT a, b FROM epairs UNION ALL SELECT b AS a, a AS b FROM epairs
+),
+eids AS (SELECT DISTINCT src * {C} + dst AS eid FROM eu),
+{",".join(esteps)}
+SELECT eid // {C} AS u, eid % {C} AS v, label AS block
+FROM elab{_BICON_E_ROUNDS}
+"""
 
 
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3393,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "node_misc_scores": q_node_misc_scores_sql(),
         "spectral_ranks": q_spectral_ranks_sql(),
         "partition_quality": q_partition_quality_sql(),
+        "biconnected": q_biconnected_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
         "pagerank_nibble": q_pagerank_nibble_sql(),
