@@ -2993,16 +2993,96 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF: xxhash64-seeded centroids, 2 Lloyd
-    rounds, nprobe=6 of 16 inverted lists per query. Rows-only (the
-    seeded sample uses xxhash64, which has no DuckDB twin, and Lloyd
-    means are float-order-sensitive); recall vs brute force is
-    pytest-gated (tests/test_textops.py)."""
+    """Approximate top-k via IVF: md5-seeded centroids, 2 Lloyd rounds,
+    nprobe=6 of 16 inverted lists per query — FULLY oracle-gated in
+    fixed-point mode (``quantize=1e6``): seeding is the portable md5
+    prefix hash and every index sum is a sum of integers below 2^53
+    (exact in IEEE doubles in any order), so DuckDB rebuilds seeds,
+    Lloyd means, inverted lists, and the probe ranking bit-for-bit.
+    Recall vs brute force is additionally pytest-gated
+    (tests/test_textops.py)."""
     from networkit_spark.operators.similarity import topk_cosine_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
-    return topk_cosine_ivf(emb, queries, k=5, nlist=16, nprobe=6)
+    return topk_cosine_ivf(
+        emb, queries, k=5, nlist=16, nprobe=6, quantize=1e6
+    )
+
+
+def q_emb_ann_ivf_sql() -> str:
+    """DuckDB twin of the fixed-point IVF build+probe: same lattice
+    (floor(x·1e6 + 0.5)), same md5 seed order, same floor-of-mean
+    centroid update, same (sim DESC, cid ASC) assignment tie rule."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        """emb AS MATERIALIZED (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)) AS e
+  FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, nid) AS cid, e AS c
+  FROM (
+    SELECT nid, e,
+           CAST(('0x' || substr(md5('ivf:' || nid), 1, 8)) AS BIGINT) AS h
+    FROM emb ORDER BY h, nid LIMIT 16
+  )
+)"""
+    ]
+    for i in range(1, 4):  # lloyd_rounds=2 assignments + final lists
+        parts.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT nid, e, cid FROM (
+    SELECT emb.nid, emb.e, cc.cid,
+           row_number() OVER (PARTITION BY emb.nid ORDER BY
+             ({cos.format(a="emb.e", b="cc.c")}) DESC, cc.cid ASC) AS rn
+    FROM emb, cent{i - 1} cc
+  ) WHERE rn = 1
+)"""
+        )
+        if i < 3:
+            parts.append(
+                f"""cent{i} AS MATERIALIZED (
+  SELECT cid, list(mean ORDER BY pos) AS c FROM (
+    SELECT cid, pos, floor(sum(val) / count(*) + 0.5) AS mean
+    FROM (SELECT cid, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+          FROM asg{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+            )
+    parts.append(
+        f"""probed AS MATERIALIZED (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.nid AS query_id, q.e AS qe, cc.cid,
+           row_number() OVER (PARTITION BY q.nid ORDER BY
+             ({cos.format(a="q.e", b="cc.c")}) DESC, cc.cid ASC) AS rn
+    FROM (SELECT * FROM emb WHERE nid < 8) q, cent2 cc
+  ) WHERE rn <= 6
+),
+scored AS (
+  SELECT p.query_id, l.nid AS neighbor_id,
+         round({cos.format(a="p.qe", b="l.e")}, 6) AS cos
+  FROM probed p JOIN asg3 l ON l.cid = p.cid
+  WHERE l.nid <> p.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3488,8 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_cosine": q_emb_topk_cosine_sql(),
         "emb_near_dup": q_emb_near_dup_sql(),
         "emb_ann_lsh": q_emb_ann_lsh_sql(),
-        # emb_ann_ivf: no SQL oracle (xxhash64 seeding + float-order Lloyd
-        # means are engine-side) — rows-only, recall pytest-gated
+        "emb_ann_ivf": q_emb_ann_ivf_sql(),
         "multimodal_features": q_multimodal_features_sql(),
         "extract_text": q_extract_text_sql(),
         "link_pipeline_degree": q_link_pipeline_degree_sql(),

@@ -362,14 +362,16 @@ def topk_cosine_ivf(
     lloyd_rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine — the
     partition-then-probe scale path.
 
     Index build:
       1. ``nlist`` deterministic seed centroids — the corpus rows with
-         the smallest ``xxhash64(id)`` (a seeded uniform sample with no
-         RNG state, reproducible across runs/partitionings).
+         the smallest ``portable_hash32(id)`` (a seeded uniform sample
+         with no RNG state, reproducible across runs/partitionings AND
+         bit-identical in ANSI SQL: md5-prefix, not a JVM-only hash).
       2. ``lloyd_rounds`` of Lloyd refinement: assign every vector to
          its nearest centroid by cosine — one vectorized Arrow kernel
          per round (``E @ Cᵀ`` against the driver-collected nlist×dim
@@ -385,16 +387,40 @@ def topk_cosine_ivf(
     never a cross join against the corpus), exact cosine re-rank, top-k
     per query. Recall grows with ``nprobe``/``nlist`` ratio; pytest
     measures it against :func:`topk_cosine`.
+
+    ``quantize`` (e.g. ``1e6``): fixed-point mode — every embedding
+    component is snapped to the integer lattice ``floor(x·q + 0.5)``
+    (held as integer-valued doubles) and Lloyd means are
+    ``floor(Σ/n + 0.5)``. Every sum the index then computes is a sum
+    of integers below 2^53, which IEEE doubles accumulate EXACTLY in
+    any order — so the whole index (assignments, centroids, inverted
+    lists, probe ranking) is bit-reproducible across partitionings,
+    engines, and summation orders, and a DuckDB oracle can rebuild it
+    value-for-value. Cosine is scale-invariant, so ranking quality is
+    unchanged up to the 1/q quantization noise (far below embedding
+    noise at q = 1e6).
     """
-    c = vectors.select(
+    from networkit_spark.operators.dedup import portable_hash32
+
+    raw = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("emb")
     )
+    if quantize is not None:
+        c = raw.select(
+            "nid",
+            F.transform(
+                "emb", lambda x: F.floor(x * F.lit(quantize) + F.lit(0.5)).cast("double")
+            ).alias("emb"),
+        )
+    else:
+        c = raw
+    seed_key = portable_hash32(F.col("nid").cast("string"), "ivf")
     centroids = (
-        c.orderBy(F.xxhash64(F.col("nid")), F.col("nid"))
+        c.orderBy(seed_key, F.col("nid"))
         .limit(nlist)
         .select(
             F.row_number()
-            .over(Window.orderBy(F.xxhash64(F.col("nid")), F.col("nid")))
+            .over(Window.orderBy(seed_key, F.col("nid")))
             .alias("cid"),
             F.col("emb").alias("c_emb"),
         )
@@ -436,13 +462,22 @@ def topk_cosine_ivf(
             pick, schema="nid long, emb array<double>, cid int"
         )
 
+    # fixed-point mode keeps centroids on the same integer lattice:
+    # floor(Σ/n + 0.5) of exact integer sums is deterministic in any
+    # engine; float mode keeps the plain (order-sensitive) mean
+    if quantize is not None:
+        mean_expr = F.floor(
+            F.sum("val") / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("double")
+    else:
+        mean_expr = F.avg("val")
     cent = centroids
     for _ in range(lloyd_rounds):
         assigned = _assign(cent)
         cent = (
             assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("mean"))
+            .agg(mean_expr.alias("mean"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
@@ -456,6 +491,14 @@ def topk_cosine_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_emb")
     )
+    if quantize is not None:
+        q = q.select(
+            "query_id",
+            F.transform(
+                "q_emb",
+                lambda x: F.floor(x * F.lit(quantize) + F.lit(0.5)).cast("double"),
+            ).alias("q_emb"),
+        )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
     probed = (
         q.crossJoin(F.broadcast(cent))
