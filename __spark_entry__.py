@@ -1807,17 +1807,57 @@ FROM cliq WHERE len(ext) = 0
 
 
 def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KADABRA adaptive (ε, δ)-betweenness (err=0.1, δ=0.1) — rows-only
-    (stochastic sampler; the ε-contract vs exact pair-fraction
-    betweenness is pytest-gated in tests/test_kadabra.py)."""
+    """KADABRA adaptive (ε, δ)-betweenness (err=0.1, δ=0.1) on the thin
+    undirected graph — ε-contract gate. The sampler is stochastic (no
+    closed SQL form for its scores), so the gate hashes the CONTRACT
+    frame instead: ``(id, exact, within_eps)`` where ``exact`` is the
+    engine's exact Brandes pair-fraction bc(v)/(n(n-1)) and
+    ``within_eps = |kadabra − exact| ≤ err``. The DuckDB twin
+    recomputes ``exact`` independently (unrolled-Brandes SQL, the same
+    oracle family as q_betweenness) and asserts TRUE — so a hash match
+    verifies BOTH the exact scores and that every vertex honors the
+    (ε, δ) guarantee (seeded sampler ⇒ deterministic realized errors on
+    a fixed input). Reference contract:
+    include/networkit/centrality/KadabraBetweenness.hpp:81."""
+    from networkit_spark import Betweenness
     from networkit_spark.operators.kadabra import KadabraBetweenness
 
-    g = undirected_graph(spark, sf_dir)
+    err = 0.1
+    g = _thin_undirected_graph(spark, sf_dir)
     kb = KadabraBetweenness(
-        g, err=0.1, delta=0.1, seed=11, diameter_hint=8,
+        g, err=err, delta=0.1, seed=11, diameter_hint=8,
         base_iters_per_step=512,
     ).run()
-    return kb.scores().select("id", F.round("score", 6).alias("kadabra"))
+    n = g.number_of_nodes()
+    exact = (
+        Betweenness(g)
+        .run()
+        .scores()
+        .select("id", (F.col("score") / F.lit(float(n * (n - 1)))).alias("ex"))
+    )
+    return (
+        kb.scores()
+        .join(exact, "id")
+        .select(
+            "id",
+            F.round("ex", 6).alias("exact"),
+            (F.abs(F.col("score") - F.col("ex")) <= F.lit(err)).alias(
+                "within_eps"
+            ),
+        )
+    )
+
+
+def q_kadabra_sql() -> str:
+    return _brandes_sql(
+        _SQL_THIN_UNDIRECTED,
+        """SELECT n.id AS id,
+       round(coalesce(t.sc, 0.0)
+             / ((SELECT count(*) FROM nodes)
+                * ((SELECT count(*) FROM nodes) - 1)), 6) AS exact,
+       TRUE AS within_eps
+FROM nodes n LEFT JOIN bc t USING (id)""",
+    )
 
 
 def q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,10 +2315,12 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.scores().select("id", F.round("score", 6).alias("score"))
 
 
-def q_betweenness_sql() -> str:
-    """Brandes unrolled by BFS level: dist via recursive CTE, per-level
-    path counts sigma forward, dependency deltas backward — exactly the
-    batched-layer construction the Spark operator uses."""
+def _brandes_sql(preamble: str, final_select: str) -> str:
+    """Brandes unrolled by BFS level over whichever ``e``/``nodes`` the
+    ``preamble`` defines: dist via recursive CTE, per-level path counts
+    sigma forward, dependency deltas backward — exactly the
+    batched-layer construction the Spark operator uses.
+    ``final_select`` consumes ``nodes`` and ``bc(id, sc)``."""
     H = _BC_HOPS
     # MATERIALIZED: DuckDB inlines CTEs by default, so each unrolled
     # level would re-run the recursive dist walk — hint forces one pass
@@ -2311,7 +2353,7 @@ def q_betweenness_sql() -> str:
         f"  SELECT s, v, delta FROM del{k}" for k in range(1, H + 1)
     )
     return f"""
-WITH RECURSIVE {_SQL_THIN_DIRECTED},
+WITH RECURSIVE {preamble},
 walk (s, v, d) AS (
   SELECT id AS s, id AS v, 0 FROM nodes
   UNION
@@ -2323,11 +2365,18 @@ lvl0 AS (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sig FROM nodes),
 {",".join(dels)},
 alldel AS (
 {union}
-)
-SELECT n.id AS id, round(coalesce(t.sc, 0.0), 6) AS score
-FROM nodes n
-LEFT JOIN (SELECT v AS id, sum(delta) AS sc FROM alldel GROUP BY v) t USING (id)
+),
+bc AS (SELECT v AS id, sum(delta) AS sc FROM alldel GROUP BY v)
+{final_select}
 """
+
+
+def q_betweenness_sql() -> str:
+    return _brandes_sql(
+        _SQL_THIN_DIRECTED,
+        """SELECT n.id AS id, round(coalesce(t.sc, 0.0), 6) AS score
+FROM nodes n LEFT JOIN bc t USING (id)""",
+    )
 
 
 def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_ranks": q_spectral_ranks_sql(),
         "partition_quality": q_partition_quality_sql(),
         "biconnected": q_biconnected_sql(),
+        "kadabra": q_kadabra_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
         "pagerank_nibble": q_pagerank_nibble_sql(),
