@@ -55,7 +55,10 @@ from networkit_spark.operators.distance import (
     EffectiveDiameter,
     EffectiveDiameterApproximation,
 )
-from networkit_spark.operators.coarsening import ParallelPartitionCoarsening
+from networkit_spark.operators.coarsening import (
+    MatchingCoarsening,
+    ParallelPartitionCoarsening,
+)
 from networkit_spark.operators.plm import PLM
 from networkit_spark.operators.scc import StronglyConnectedComponents
 from networkit_spark.operators.betweenness import (
@@ -208,6 +211,7 @@ __all__ = [
     "EffectiveDiameterApproximation",
     "EpidemicSimulationSEIR",
     "ParallelAgglomerativeClusterer",
+    "MatchingCoarsening",
     "ParallelPartitionCoarsening",
     "PLM",
     "StronglyConnectedComponents",

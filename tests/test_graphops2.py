@@ -86,6 +86,53 @@ def test_coarsening(g, spark):
     assert mapping[0] == 0 and mapping[5] == 1
 
 
+def test_matching_coarsening(g, spark):
+    from networkit_spark.operators.coarsening import MatchingCoarsening
+
+    # matching {0,1}, {2,3}, {5,6}; 4, 7, 8 unmatched. Reference id
+    # assignment (MatchingCoarsening.cpp:25-40): sequential in
+    # ascending fine-id order → rep 0→0, rep 2→1, rep 4→2, rep 5→3,
+    # rep 7→4, rep 8→5.
+    matching = spark.createDataFrame(
+        [(0, 1), (2, 3), (5, 6)], "src long, dst long"
+    )
+    mc = MatchingCoarsening(g, matching).run()
+    mapping = {r["id"]: r["super"] for r in
+               mc.get_fine_to_coarse_node_mapping().collect()}
+    assert mapping == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 3, 7: 4, 8: 5}
+    rows = {(r["src"], r["dst"]): r["weight"] for r in
+            mc.get_coarse_graph().edges.collect()}
+    # hand contraction of the fixture (triangle 0-1-2, tail 2-3-4,
+    # K4 on 5-8): {0,1} edge → self-loop (0,0); 1-2 and 0-2 → (0,1)
+    # weight 2; 2-3 → self-loop (1,1); 3-4 → (1,2); {5,6} edge →
+    # self-loop (3,3); 5-7,6-7 → (3,4) weight 2; 5-8,6-8 → (3,5)
+    # weight 2; 7-8 → (4,5)
+    assert rows == {
+        (0, 0): 1.0, (0, 1): 2.0, (1, 1): 1.0, (1, 2): 1.0,
+        (3, 3): 1.0, (3, 4): 2.0, (3, 5): 2.0, (4, 5): 1.0,
+    }
+    # noSelfLoops drops the matched-pair self-loops
+    mc2 = MatchingCoarsening(g, matching, no_self_loops=True).run()
+    rows2 = {(r["src"], r["dst"]): r["weight"] for r in
+             mc2.get_coarse_graph().edges.collect()}
+    assert rows2 == {
+        (0, 1): 2.0, (1, 2): 1.0, (3, 4): 2.0, (3, 5): 2.0, (4, 5): 1.0,
+    }
+    # composes with the engine's own matcher: contraction by a valid
+    # matching halves matched pairs, preserves total weight (self-loops
+    # included) and never merges two unmatched nodes
+    from networkit_spark.operators.matching import LocalMaxMatcher
+
+    m = LocalMaxMatcher(g).run().get_matching()
+    mc3 = MatchingCoarsening(g, m).run()
+    n_matched = m.count()
+    assert mc3.get_coarse_graph().number_of_nodes() == 9 - n_matched
+    total = mc3.get_coarse_graph().edges.agg(
+        F.sum("weight").alias("s")
+    ).collect()[0]["s"]
+    assert total == 11.0
+
+
 def test_global_threshold_filter(g):
     scores = degree_product_scores(g)
     # K4 edges have score 9; triangle/tail edges less
