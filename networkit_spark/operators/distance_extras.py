@@ -448,16 +448,31 @@ class AStar(Algorithm):
 
 class AStarGeneral(AStar):
     """``AStarGeneral<Heuristic>`` — A* with an arbitrary heuristic
-    callable ``node → lower bound``. The callable is evaluated once per
-    vertex through a vectorized pandas UDF (the reference calls
-    ``heu(u)`` per visited node); everything else is :class:`AStar`."""
+    callable ``node → lower bound``. Everything else is :class:`AStar`.
+
+    Python boundary note: this is the ONE place in the distance family
+    where user Python runs per element. A plain scalar callable can
+    only be driven element-at-a-time (``s.map`` inside the Arrow batch
+    — batch transfer is still vectorized; only the call itself is
+    per-row). Pass ``vectorized=True`` when ``heu`` accepts a numpy
+    array of ids and returns an array of bounds — then the whole batch
+    is one call and nothing runs per row. The landmark-heuristic
+    :class:`AStar` has no Python in it at all."""
 
     def __init__(self, graph: Graph, heu, source: int, target: int,
-                 store_pred: bool = True, max_rounds: int = 10_000) -> None:
+                 store_pred: bool = True, max_rounds: int = 10_000,
+                 vectorized: bool = False) -> None:
+        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        fn = pandas_udf(lambda s: s.map(lambda i: float(heu(int(i)))),
-                        "double")
+        if vectorized:
+            fn = pandas_udf(
+                lambda s: pd.Series(heu(s.to_numpy()), dtype="float64"),
+                "double",
+            )
+        else:
+            fn = pandas_udf(lambda s: s.map(lambda i: float(heu(int(i)))),
+                            "double")
         frame = graph.vertices.select("id", fn(F.col("id")).alias("heu"))
         super().__init__(graph, frame, source, target, store_pred, max_rounds)
 

@@ -177,6 +177,17 @@ def test_astar_general_callable(spark):
     assert a.get_path() == [0, 1, 2, 5]
 
 
+def test_astar_general_vectorized(spark):
+    import numpy as np
+
+    g = Graph.from_edge_list(spark, WEDGES, directed=False, weighted=True)
+    a = AStarGeneral(
+        g, lambda ids: np.zeros(len(ids)), 0, 5, vectorized=True
+    ).run()
+    assert a.get_distance() == pytest.approx(3.0)
+    assert a.get_path() == [0, 1, 2, 5]
+
+
 def test_astar_directed(spark):
     g = Graph.from_edge_list(
         spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
