@@ -7,16 +7,22 @@ process boundary. This script runs the same PageRank job on a real
 Spark standalone cluster started in-sandbox (`spark-class
 org.apache.spark.deploy.master.Master` / `...worker.Worker`), submitted
 via `spark-submit --py-files` exactly as the north rule prescribes,
-with `spark.executor.cores=1` so the two levels are **N and 4N separate
-executor JVMs**: every shuffle serializes through netty over loopback
-and the block manager, like a real cluster minus the NIC.
+with `spark.executor.cores=$SPARK_GRAFT_EXEC_CORES` (default 1) so the
+two levels are **N/EXEC_CORES and 4N/EXEC_CORES separate executor
+JVMs** over N and 4N total cores: every shuffle serializes through
+netty over loopback and the block manager, like a real cluster minus
+the NIC.
 
-Per-executor resources are held constant across levels (1 core / 8 GiB)
-— adding executors adds memory, as adding machines does on a real
-cluster. The worker's process tree (which spawns every executor JVM) is
-cpuset-pinned to exactly `cores` host CPUs; the driver is pinned to its
-own disjoint 4 CPUs at both levels so driver-side scheduling cannot
-absorb the comparison.
+Per-executor resources are held constant across levels (EXEC_CORES
+cores / $SPARK_GRAFT_EXEC_MEM) — adding executors adds memory, as
+adding machines does on a real cluster. When the host has enough CPUs
+for disjoint sets, the worker's process tree (which spawns every
+executor JVM) is cpuset-pinned to exactly `cores` host CPUs and the
+driver to its own disjoint 4, so driver-side scheduling cannot absorb
+the comparison; on smaller hosts pinning is skipped (and the report
+says so). Shuffle/local dirs default to tmpfs and are overridable via
+SPARK_GRAFT_SHUFFLE_DIR (disk-variant rows in scaling_runs.jsonl carry
+"shuffle_dir_root").
 
 Usage: python scripts/standalone_scaling_bench.py [sf_dir] [n_low] [n_high]
 (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 2, 8)
@@ -47,7 +53,30 @@ EXEC_MEM = os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")
 # 1-core executor pays GC + shuffle serialization on its only core)
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
 RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
-DRIVER_CPUS = "28-31"  # disjoint from any worker pinning below
+# shuffle/local dirs root: tmpfs by default (on a real cluster 4N
+# executors bring 4N node-local disks; on this one-box sandbox every
+# executor shares ONE device, so tmpfs restores the per-executor-scaled
+# shuffle bandwidth a cluster actually has). Set
+# SPARK_GRAFT_SHUFFLE_DIR=/tmp/... to measure the shared-disk variant.
+SHUFFLE_DIR_ROOT = os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/dev/shm")
+
+# host CPUs actually available to this process — pinning assumed a
+# ≥32-CPU host before; now the driver takes the LAST 4 available CPUs
+# and workers pin to the first `cores`, or pinning is skipped entirely
+# when the host is too small for disjoint sets
+_AVAIL_CPUS = sorted(os.sched_getaffinity(0))
+
+
+def _driver_pin(n_high: int) -> str | None:
+    if len(_AVAIL_CPUS) >= n_high + 4:
+        return ",".join(str(c) for c in _AVAIL_CPUS[-4:])
+    return None
+
+
+def _worker_pin(cores: int, n_high: int) -> str | None:
+    if len(_AVAIL_CPUS) >= n_high + 4:
+        return ",".join(str(c) for c in _AVAIL_CPUS[:cores])
+    return None
 
 JOB = r"""
 import json, sys, time
@@ -139,7 +168,7 @@ def _zip_package() -> str:
     return out
 
 
-def run_level(cores: int, sf_dir: str, pyzip: str) -> dict:
+def run_level(cores: int, n_high: int, sf_dir: str, pyzip: str) -> dict:
     wlog = f"/tmp/standalone_worker_{cores}.log"
     worker = _spawn(
         [
@@ -149,8 +178,8 @@ def run_level(cores: int, sf_dir: str, pyzip: str) -> dict:
             "--webui-port", "0",
         ],
         wlog,
-        pin=f"0-{cores - 1}" if cores > 1 else "0",
-        local_dirs=f"/dev/shm/spark-local-{cores}",
+        pin=_worker_pin(cores, n_high),
+        local_dirs=f"{SHUFFLE_DIR_ROOT}/spark-local-{cores}",
     )
     try:
         _wait_for(wlog, "Successfully registered with master")
@@ -182,17 +211,14 @@ def run_level(cores: int, sf_dir: str, pyzip: str) -> dict:
             # a 1-core executor has one task slot — waiting for data
             # locality just idles it
             "--conf", "spark.locality.wait=0s",
-            # tmpfs shuffle dirs: on a real cluster 4N executors bring
-            # 4N node-local disks; on this one-box sandbox all executors
-            # would share ONE device, making disk the 4N-level bottleneck
-            # — tmpfs restores the per-executor-scaled shuffle bandwidth
-            # a cluster actually has
-            "--conf", f"spark.local.dir=/dev/shm/spark-local-{cores}",
+            # see SHUFFLE_DIR_ROOT comment (tmpfs default, env-overridable)
+            "--conf", f"spark.local.dir={SHUFFLE_DIR_ROOT}/spark-local-{cores}",
             "--conf", "spark.ui.enabled=false",
             job_path,
         ]
-        if os.path.exists("/usr/bin/taskset"):
-            argv = ["/usr/bin/taskset", "-c", DRIVER_CPUS] + argv
+        dpin = _driver_pin(n_high)
+        if dpin and os.path.exists("/usr/bin/taskset"):
+            argv = ["/usr/bin/taskset", "-c", dpin] + argv
         env = dict(os.environ)
         env["SPARK_HOME"] = SPARK_HOME
         out = subprocess.run(
@@ -226,6 +252,12 @@ def main() -> None:
     )
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    if n_low % EXEC_CORES or n_high % EXEC_CORES:
+        raise SystemExit(
+            f"core budgets ({n_low}, {n_high}) must be multiples of "
+            f"SPARK_GRAFT_EXEC_CORES={EXEC_CORES} — 'executors' would "
+            "otherwise misreport"
+        )
 
     mlog = "/tmp/standalone_master.log"
     master = _spawn(
@@ -239,8 +271,8 @@ def main() -> None:
     try:
         _wait_for(mlog, "started service 'sparkMaster'")
         pyzip = _zip_package()
-        low = run_level(n_low, sf_dir, pyzip)
-        high = run_level(n_high, sf_dir, pyzip)
+        low = run_level(n_low, n_high, sf_dir, pyzip)
+        high = run_level(n_high, n_high, sf_dir, pyzip)
     finally:
         master.terminate()
         master.wait(timeout=30)
@@ -257,26 +289,37 @@ def main() -> None:
         "high": {**high, "cpus": n_high},
         "parallelism_ratio": ratio,
         "wall_basis": low.get("wall_basis", "median"),
+        "shuffle_dir_root": SHUFFLE_DIR_ROOT,
         "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_best_of_3": round(eff_best, 3),
+        # best single run at each level (run count recorded in wall_basis)
+        "scaling_efficiency_best": round(eff_best, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
         f.write(json.dumps(result) + "\n")
+    x_low = n_low // EXEC_CORES
+    x_high = n_high // EXEC_CORES
+    pin_note = (
+        "worker process tree cpuset-pinned to exactly its core budget; "
+        "driver pinned to 4 disjoint CPUs at both levels"
+        if _driver_pin(n_high)
+        else f"host has only {len(_AVAIL_CPUS)} CPUs — pinning skipped"
+    )
     with open(os.path.join(REPO, "BENCH", "standalone_scaling.md"), "w") as f:
         f.write(
-            f"""# Standalone-cluster scaling run ({n_low}→{n_high} executors)
+            f"""# Standalone-cluster scaling run ({x_low}→{x_high} executors × {EXEC_CORES} core{'s' if EXEC_CORES > 1 else ''})
 
 Real multi-executor evidence for the north rule's two-cluster-size
 criterion: a Spark **standalone cluster** (separate master, worker, and
 one JVM per executor) started in-sandbox, the job submitted with
 `spark-submit --py-files networkit_spark.zip` — the exact invocation
-shape the north rule prescribes. `spark.executor.cores=1`, so the two
-levels are **{n_low} and {n_high} separate executor JVMs**; every
-shuffle crosses process boundaries through netty + the block manager.
-Per-executor resources constant (1 core / {EXEC_MEM}); worker process
-tree cpuset-pinned to exactly its core budget; driver pinned to 4
-disjoint CPUs at both levels.
+shape the north rule prescribes. `spark.executor.cores={EXEC_CORES}`,
+so the two levels are **{x_low} and {x_high} separate executor JVMs**
+({n_low} vs {n_high} total cores); every shuffle crosses process
+boundaries through netty + the block manager. Per-executor resources
+constant ({EXEC_CORES} core{'s' if EXEC_CORES > 1 else ''} /
+{EXEC_MEM}); {pin_note}. Shuffle/local dirs under `{SHUFFLE_DIR_ROOT}`
+(`SPARK_GRAFT_SHUFFLE_DIR`; default tmpfs — see script header).
 
 Same job and input as `scaling_bench.py`: PageRank damping 0.85,
 {ITERS} fixed rounds, `{sf_dir}` link graph × {REPLICAS} disjoint
@@ -285,11 +328,11 @@ pass, then the median of the timed runs (best-of alongside in the JSON).
 
 | cluster size | iterations | wall s (runs) | edges/s per iteration |
 |---|---|---|---|
-| {n_low} executors (N) | {low['iterations']} | {low['wall_s']} {low['wall_s_runs']} | {low['edges_per_sec_per_iter']:,.0f} |
-| {n_high} executors (4N) | {high['iterations']} | {high['wall_s']} {high['wall_s_runs']} | {high['edges_per_sec_per_iter']:,.0f} |
+| {x_low} executors (N) | {low['iterations']} | {low['wall_s']} {low['wall_s_runs']} | {low['edges_per_sec_per_iter']:,.0f} |
+| {x_high} executors (4N) | {high['iterations']} | {high['wall_s']} {high['wall_s_runs']} | {high['edges_per_sec_per_iter']:,.0f} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / {ratio:.0f} =
-{eff:.3f}** (median basis; best-of = {eff_best:.3f}; target ≥ 0.8).
+{eff:.3f}** (median basis; best single-run = {eff_best:.3f}; target ≥ 0.8).
 """
         )
     print(json.dumps(result))
