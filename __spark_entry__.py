@@ -1977,15 +1977,81 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "pos", F.round("value", 6).alias("value"))
 
 
-def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KPathCentrality — seeded self-avoiding walk sampling (stochastic
-    estimator: rows-only, no SQL oracle; determinism and ordering are
-    covered by unit tests)."""
-    from networkit_spark.operators.kpath import KPathCentrality
+_KPATH_K = 4
+_KPATH_T = 8000
+_KPATH_Z = 6.0  # realized max z measured 2.4-3.4 at sf0.001/sf0.01 for
+# t∈{2000,8000}; 6 gives ~1.75× margin while |dev| > tol would still
+# catch any sampling-measure bug many σ out
 
-    g = undirected_graph(spark, sf_dir)
-    kp = KPathCentrality(g, k=4, num_walks=2000).run()
-    return kp.scores().select("id", F.round("score", 6).alias("kpath"))
+
+def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPathCentrality (seeded self-avoiding-walk sampler, k=4,
+    t=8000) on the thin undirected graph — ε-contract gate, same
+    pattern as q_kadabra. The estimator has no closed SQL form, but
+    its EXPECTATION does: ``E[score(v)] = Σ_paths P(path)·(k−d+1)``
+    over self-avoiding walks (``exact_kpath_expectation``, a
+    distributed exhaustive enumeration). The gate frame is
+    ``(id, exact, within_tol)`` with
+    ``within_tol = |est − exact| ≤ Z·√((exact+1)·k·n/t)`` (the
+    estimator's Poisson-scale std, Z=6). The DuckDB twin re-derives
+    ``exact`` via an independent recursive-CTE path enumeration and
+    asserts TRUE — a hash match verifies both the closed-form
+    expectation and that the seeded sampler's realized error sits at
+    its statistical scale. Reference measure:
+    cpp/centrality/KPathCentrality.cpp:18-103."""
+    from networkit_spark.operators.kpath import (
+        KPathCentrality,
+        exact_kpath_expectation,
+    )
+
+    g = _thin_undirected_graph(spark, sf_dir)
+    n = g.number_of_nodes()
+    kp = KPathCentrality(g, k=_KPATH_K, num_walks=_KPATH_T, seed=42).run()
+    ex = exact_kpath_expectation(g, _KPATH_K)
+    tol = F.lit(_KPATH_Z) * F.sqrt(
+        (F.col("exact") + F.lit(1.0))
+        * F.lit(float(_KPATH_K) * n / _KPATH_T)
+    )
+    return (
+        kp.scores()
+        .join(ex, "id")
+        .select(
+            "id",
+            F.round("exact", 6).alias("exact"),
+            (F.abs(F.col("score") - F.col("exact")) <= tol).alias(
+                "within_tol"
+            ),
+        )
+    )
+
+
+def q_kpath_sql() -> str:
+    K = _KPATH_K
+    return f"""
+WITH RECURSIVE {_SQL_THIN_UNDIRECTED},
+nl AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS ns FROM e GROUP BY src),
+saw (s, cur, visited, depth, prob) AS (
+  SELECT id AS s, id AS cur, [id] AS visited, 0 AS depth,
+         CAST(1.0 AS DOUBLE) AS prob FROM nodes
+  UNION ALL
+  SELECT s, x AS cur, list_append(visited, x) AS visited,
+         depth + 1 AS depth, prob / nc AS prob
+  FROM (
+    SELECT w.s, w.visited, w.depth, w.prob,
+           len(list_filter(nl.ns, y -> NOT list_contains(w.visited, y))) AS nc,
+           unnest(list_filter(nl.ns, y -> NOT list_contains(w.visited, y))) AS x
+    FROM saw w JOIN nl ON nl.src = w.cur
+    WHERE w.depth < {K}
+  )
+),
+ex AS (
+  SELECT cur AS id, sum(prob * ({K} - depth + 1)) AS exact
+  FROM saw WHERE depth > 0 GROUP BY cur
+)
+SELECT n.id AS id, round(coalesce(ex.exact, 0.0), 6) AS exact,
+       TRUE AS within_tol
+FROM nodes n LEFT JOIN ex USING (id)
+"""
 
 
 _GROUP_DEGREE_K = 4
@@ -3606,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_quality": q_partition_quality_sql(),
         "biconnected": q_biconnected_sql(),
         "kadabra": q_kadabra_sql(),
+        "kpath": q_kpath_sql(),
         "matching": q_matching_sql(),
         "katz_index": q_katz_index_sql(),
         "pagerank_nibble": q_pagerank_nibble_sql(),

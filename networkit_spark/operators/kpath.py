@@ -169,3 +169,69 @@ class KPathCentrality(Centrality):
             ).alias("score"),
         )
         sym.unpersist()
+
+
+def exact_kpath_expectation(graph: Graph, k: int) -> DataFrame:
+    """Exact expectation of the KADABRA-style κ-path estimator:
+    ``E[score(v)] = Σ_{paths} P(path)·(k − depth(v) + 1)`` over all
+    self-avoiding walks of length ≤ k (uniform start, uniform length
+    ℓ ∈ [1, k], uniform unexplored-neighbor steps — the unweighted
+    measure of ``KPathCentrality.cpp:62-84``). The ``(k − d + 1)``
+    factor is k·P(ℓ ≥ d): a visit at depth d happens iff the drawn
+    length reaches it.
+
+    Validation twin for the sampler (the ε-contract gate in
+    ``__spark_entry__.q_kpath`` hashes it against an independent DuckDB
+    recursion): exhaustive O(n·Δ^(k−1)) path enumeration, so fixture
+    scale only — but fully distributed: each depth is one join of the
+    path-state frame against the adjacency plus one count-agg for the
+    per-state branching factor; no driver loop over paths.
+    """
+    g = graph
+    sym = (
+        g.symmetrized()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    state = g.vertices.select(
+        F.col("id").alias("s"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("visited"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("prob"),
+    )
+    acc: DataFrame | None = None
+    for _ in range(k):
+        cand = state.join(sym, state.cur == sym.src).where(
+            ~F.array_contains(F.col("visited"), F.col("dst"))
+        )
+        nc = cand.groupBy("s", "visited").agg(
+            F.count(F.lit(1)).alias("nc")
+        )
+        step = local_cut(
+            cand.join(nc, ["s", "visited"]).select(
+                "s",
+                F.col("dst").alias("cur"),
+                F.array_union("visited", F.array("dst")).alias("visited"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("prob") / F.col("nc")).alias("prob"),
+            )
+        )
+        contrib = step.groupBy(F.col("cur").alias("id")).agg(
+            F.sum(
+                F.col("prob") * (F.lit(k) - F.col("depth") + F.lit(1))
+            ).alias("ex")
+        )
+        acc = (
+            contrib
+            if acc is None
+            else local_cut(
+                acc.unionAll(contrib).groupBy("id").agg(F.sum("ex").alias("ex"))
+            )
+        )
+        state = step
+    empty = g.vertices.select("id", F.lit(0.0).alias("ex")).limit(0)
+    return g.vertices.join(acc if acc is not None else empty, "id", "left").select(
+        "id", F.coalesce("ex", F.lit(0.0)).alias("exact")
+    )
