@@ -4,9 +4,10 @@
 per-format readers and writers. This engine's twins live in
 :mod:`networkit_spark.sources.io`; the dispatcher only maps names.
 
-``Format.MAT`` (MATLAB .mat) is not supported — it needs scipy.io,
-which is deliberately not a dependency; MatrixMarket covers the sparse
-matrix interop path.
+``Format.MAT`` (MATLAB .mat, v5) is supported via a minimal
+stdlib-only codec in :mod:`networkit_spark.sources.io` (sparse or
+dense-double square adjacency under a named key, little-endian,
+miCOMPRESSED handled) — no scipy dependency.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ class Format(enum.Enum):
     GraphToolBinary = "graphtool"
     ThrillBinary = "thrill"
     NetworkitBinary = "networkit"
+    MAT = "mat"
     MatrixMarket = "matrixmarket"  # this engine's extra (reader exists)
 
 
@@ -85,6 +87,7 @@ def read_graph(
         Format.GraphToolBinary: nio.read_graphtool_binary,
         Format.ThrillBinary: nio.read_thrill_binary,
         Format.NetworkitBinary: nio.read_networkit_binary,
+        Format.MAT: nio.read_mat,
         Format.MatrixMarket: nio.read_matrix_market,
     }
     if fileformat not in readers:
@@ -107,6 +110,7 @@ def write_graph(graph: Graph, path: str, fileformat: Format, **kwargs) -> None:
         Format.GraphToolBinary: nio.write_graphtool_binary,
         Format.ThrillBinary: nio.write_thrill_binary,
         Format.NetworkitBinary: nio.write_networkit_binary,
+        Format.MAT: nio.write_mat,
         Format.EdgeList: nio.write_edge_list,
     }
     if fileformat in _EDGE_LIST_PRESETS:

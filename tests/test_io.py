@@ -388,3 +388,68 @@ def test_thrill_binary_split_files(spark, tmp_path):
     g4 = read_thrill_binary(spark, p3)
     assert g4.number_of_edges() == 200
     assert g4.number_of_nodes() == 201
+
+
+def test_mat_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_mat, write_mat
+
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)],
+        directed=False, num_nodes=5,
+    )
+    p = str(tmp_path / "g.mat")
+    write_mat(g, p, key="G")
+    g2 = read_mat(spark, p, key="G")
+    got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert got == {(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)}
+    assert g2.number_of_nodes() == 5  # isolated node 4 preserved via dims
+    with pytest.raises(KeyError):
+        read_mat(spark, p, key="A")
+
+
+def test_mat_reader_compressed_and_dense(spark, tmp_path):
+    """Exercise the miCOMPRESSED wrapper and the dense-double class the
+    way scipy.io.savemat would produce them (hand-built v5 bytes)."""
+    import struct
+    import zlib
+
+    from networkit_spark.sources.io import read_mat
+
+    def element(mtype, payload):
+        pad = (-len(payload)) % 8
+        return struct.pack("<II", mtype, len(payload)) + payload + b"\x00" * pad
+
+    # dense 3x3 double matrix, column-major: edges 0-1, 1-2 (symmetric)
+    a = [0.0] * 9
+    for (u, v) in [(0, 1), (1, 2)]:
+        a[v * 3 + u] = 1.0
+        a[u * 3 + v] = 1.0
+    body = b"".join([
+        element(6, struct.pack("<II", 6, 0)),          # flags: mxDOUBLE
+        element(5, struct.pack("<ii", 3, 3)),          # dims
+        element(1, b"G"),                              # name
+        element(9, struct.pack("<9d", *a)),            # pr
+    ])
+    matrix = element(14, body)
+    header = (
+        b"MATLAB 5.0 MAT-file, test".ljust(116)
+        + b"\x00" * 8 + struct.pack("<H", 0x0100) + b"IM"
+    )
+    p = str(tmp_path / "dense.mat")
+    with open(p, "wb") as f:
+        f.write(header)
+        f.write(element(15, zlib.compress(matrix)))    # miCOMPRESSED
+    g = read_mat(spark, p)
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert got == {(0, 1), (1, 2)}
+    assert g.number_of_nodes() == 3
+
+
+def test_mat_via_dispatcher(spark, tmp_path):
+    from networkit_spark.sources.graphio import Format, read_graph, write_graph
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], directed=False)
+    p = str(tmp_path / "d.mat")
+    write_graph(g, p, Format.MAT)
+    g2 = read_graph(spark, p, Format.MAT)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (1, 2)}
