@@ -3576,7 +3576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_node_misc_scores / q_closeness_all) so every operator — including
     the whole LLM-pipeline tail — sits inside the window; redundant
     standalone rows (component_sizes, already covered by components +
-    graph_scalars) sit past it."""
+    graph_scalars) sit past it.
+
+    Round-4 choice: no keys added or displaced — the window stays the
+    same 50 families; the round instead upgraded four existing keys
+    from rows-only to hash-gated (biconnected, kadabra, kpath,
+    emb_ann_ivf), leaving node2vec as the single rows+schema row
+    (stochastic embedding values, flattened via posexplode so the
+    canonicalizer can hash rows/schema). MatchingCoarsening (new this
+    round) is covered by pytest + COVERAGE rather than a new key: the
+    coarsening contract is already hash-gated by the `coarsen` family
+    and the matching side by `matching`."""
     return {
         # -- north-rule graph kernels
         "degree": q_degree,

@@ -135,7 +135,12 @@ from networkit_spark.operators.gedwalk import GedWalk
 from networkit_spark.operators.layout import MaxentStress, PivotMDS
 from networkit_spark.operators.dyndistance import DynAPSP, DynBFS, DynDijkstra
 from networkit_spark.operators.dynkatz import DynKatzCentrality
-from networkit_spark.operators.dynbetweenness import DynApproxBetweenness
+from networkit_spark.operators.dynbetweenness import (
+    DynApproxBetweenness,
+    DynBetweenness,
+    DynBetweennessOneNode,
+)
+from networkit_spark.operators.dyntopcloseness import DynTopHarmonicCloseness
 
 __all__ = [
     "ApproxBetweenness",
@@ -162,6 +167,9 @@ __all__ = [
     "Dijkstra",
     "DynAPSP",
     "DynApproxBetweenness",
+    "DynBetweenness",
+    "DynBetweennessOneNode",
+    "DynTopHarmonicCloseness",
     "DynBFS",
     "DynConnectedComponents",
     "DynDijkstra",

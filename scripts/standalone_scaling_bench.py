@@ -59,6 +59,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
 # shuffle bandwidth a cluster actually has). Set
 # SPARK_GRAFT_SHUFFLE_DIR=/tmp/... to measure the shared-disk variant.
 SHUFFLE_DIR_ROOT = os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/dev/shm")
+# extra spark confs for ceiling experiments, semicolon-separated k=v,
+# e.g. SPARK_GRAFT_EXTRA_CONFS="spark.shuffle.compress=false;spark.serializer=org.apache.spark.serializer.KryoSerializer"
+EXTRA_CONFS = [
+    kv for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";") if kv
+]
 
 # host CPUs actually available to this process — pinning assumed a
 # ≥32-CPU host before; now the driver takes the LAST 4 available CPUs
@@ -214,6 +219,7 @@ def run_level(cores: int, n_high: int, sf_dir: str, pyzip: str) -> dict:
             # see SHUFFLE_DIR_ROOT comment (tmpfs default, env-overridable)
             "--conf", f"spark.local.dir={SHUFFLE_DIR_ROOT}/spark-local-{cores}",
             "--conf", "spark.ui.enabled=false",
+            *[a for kv in EXTRA_CONFS for a in ("--conf", kv)],
             job_path,
         ]
         dpin = _driver_pin(n_high)
@@ -290,6 +296,7 @@ def main() -> None:
         "parallelism_ratio": ratio,
         "wall_basis": low.get("wall_basis", "median"),
         "shuffle_dir_root": SHUFFLE_DIR_ROOT,
+        "extra_confs": EXTRA_CONFS,
         "scaling_efficiency": round(eff, 3),
         # best single run at each level (run count recorded in wall_basis)
         "scaling_efficiency_best": round(eff_best, 3),
