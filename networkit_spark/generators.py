@@ -647,28 +647,17 @@ def _torus_sqdist(x1, y1, x2, y2):
     return dx * dx + dy * dy
 
 
-def pub_web_points(
-    spark: SparkSession,
-    n: int,
-    num_dense_areas: int = 12,
-    seed: int = 42,
-) -> DataFrame:
-    """Seeded PubWeb point distribution (``(id, x, y)`` on the unit
-    torus): ``num_dense_areas`` circular dense areas with anti-quadratic
-    radii holding ~``areas/(areas+2)`` of the mass, the rest uniform
-    background — the coordinate recipe of
-    ``PubWebGenerator::{chooseDenseAreaSizes,chooseClusterSizes,
-    fillDenseAreas,spreadRemainingNodes}``
-    (``cpp/generators/PubWebGenerator.cpp:105-143``) with hash-seeded
-    draws instead of the sequential Mersenne stream.
-
-    Area centers/radii/counts are O(areas) driver scalars; per-node
-    coordinates are pure column expressions over ``spark.range(n)``."""
+def pub_web_areas(
+    n: int, num_dense_areas: int, seed: int
+) -> tuple[list[dict], int]:
+    """Seeded PubWeb dense-area geometry — centers, radii, per-area node
+    counts and id ranges (``PubWebGenerator::{chooseDenseAreaSizes,
+    chooseClusterSizes}``, ``cpp/generators/PubWebGenerator.cpp:105-126``)
+    plus the total node count after rounding. Shared by the static
+    point recipe and :class:`~networkit_spark.dynamic_generators.
+    DynamicPubWebGenerator` (which draws NEW nodes from the same
+    areas)."""
     import hashlib
-    import math
-
-    if n < 1:
-        raise ValueError("n must be >= 1")
 
     def _u(tag: str) -> float:
         h = hashlib.md5(f"pubweb{seed}:{tag}".encode()).hexdigest()
@@ -701,6 +690,32 @@ def pub_web_points(
         c["lo"], c["hi"] = lo, lo + c["num"]
         lo += c["num"]
     total = max(n, lo)
+    return areas, total
+
+
+def pub_web_points(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded PubWeb point distribution (``(id, x, y)`` on the unit
+    torus): ``num_dense_areas`` circular dense areas with anti-quadratic
+    radii holding ~``areas/(areas+2)`` of the mass, the rest uniform
+    background — the coordinate recipe of
+    ``PubWebGenerator::{chooseDenseAreaSizes,chooseClusterSizes,
+    fillDenseAreas,spreadRemainingNodes}``
+    (``cpp/generators/PubWebGenerator.cpp:105-143``) with hash-seeded
+    draws instead of the sequential Mersenne stream.
+
+    Area centers/radii/counts are O(areas) driver scalars; per-node
+    coordinates are pure column expressions over ``spark.range(n)``."""
+    import math
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    areas, total = pub_web_areas(n, num_dense_areas, seed)
 
     ids = spark.range(total).select(F.col("id").cast("long"))
     u_ang = _unit_hash(F.col("id"), F.lit(seed), F.lit("ang"))

@@ -127,3 +127,110 @@ def test_random_node_edge_scores(spark):
         random_node_edge_scores(
             Graph.from_edge_list(spark, [(0, 1)], directed=True)
         )
+
+
+def _canon_edges(g):
+    return {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in g.edges.collect()
+    }
+
+
+def test_dynamic_pub_web_initial_equals_static(spark):
+    from networkit_spark.dynamic_generators import DynamicPubWebGenerator
+    from networkit_spark.generators import pub_web
+
+    kw = dict(n=60, num_dense_areas=4, neighborhood_radius=0.25,
+              max_neighbors=6, seed=7)
+    dyn = DynamicPubWebGenerator(spark, **kw)
+    ev = dyn.generate(0)  # initial dump only
+    replayed = graph_from_stream(spark, ev, weighted=True, directed=False)
+    static = pub_web(spark, **kw)
+    assert _canon_edges(replayed) == _canon_edges(static)
+    # weights: BASE_WEIGHT / sqdist, positive
+    ws = [r["weight"] for r in replayed.edges.collect()]
+    assert ws and all(w > 0 for w in ws)
+
+
+def test_dynamic_pub_web_steps_replay(spark):
+    from networkit_spark.dynamic_generators import DynamicPubWebGenerator
+
+    dyn = DynamicPubWebGenerator(
+        spark, n=60, num_dense_areas=4, neighborhood_radius=0.25,
+        max_neighbors=6, seed=7,
+    )
+    ev0 = dyn.generate(0)
+    g0 = graph_from_stream(spark, ev0, weighted=True, directed=False)
+    ev = dyn.generate(2)
+    from networkit_spark.streaming.events import TIME_STEP, apply_events
+
+    # replay per TIME_STEP slice: apply_events collapses one batch to
+    # set semantics, so an edge removed in step 1 and re-added in step
+    # 2 must be replayed in separate batches (like GraphUpdater would)
+    rows = ev.orderBy("seq").collect()
+    replayed = g0
+    batch: list = []
+    for r in rows:
+        if r["etype"] == TIME_STEP:
+            if batch:
+                replayed = apply_events(
+                    replayed,
+                    spark.createDataFrame(
+                        batch, "seq long, etype string, u long, v long, w double"
+                    ),
+                )
+            batch = []
+        else:
+            batch.append(tuple(r))
+    assert _canon_edges(replayed) == _canon_edges(dyn.get_graph())
+    # node churn: 5% of 60 = 3 per step, ids never reused
+    ids = {r["id"] for r in dyn.get_coordinates().collect()}
+    assert len(ids) == 60
+    new = {r["id"] for r in dyn.get_new_coordinates().collect()}
+    assert len(new) == 6 and all(i >= 60 for i in new)
+    # weight updates carried through: replayed weights equal generator's
+    wr = {(min(r["src"], r["dst"]), max(r["src"], r["dst"])): r["weight"]
+          for r in replayed.edges.collect()}
+    wg = {(min(r["src"], r["dst"]), max(r["src"], r["dst"])): r["weight"]
+          for r in dyn.get_graph().edges.collect()}
+    assert wr == wg
+
+
+def test_dynamic_hyperbolic_initial_equals_static(spark):
+    from networkit_spark.dynamic_generators import DynamicHyperbolicGenerator
+    from networkit_spark.generators import hyperbolic
+
+    dyn = DynamicHyperbolicGenerator(
+        spark, n=80, avg_degree=4.0, exponent=3.0, seed=11
+    )
+    static = hyperbolic(spark, n=80, avg_degree=4.0, exponent=3.0, seed=11)
+    assert _canon_edges(dyn.get_graph()) == _canon_edges(static)
+
+
+def test_dynamic_hyperbolic_steps_replay(spark):
+    from networkit_spark.dynamic_generators import DynamicHyperbolicGenerator
+    from networkit_spark.streaming.events import apply_events
+
+    dyn = DynamicHyperbolicGenerator(
+        spark, n=60, avg_degree=4.0, exponent=3.0,
+        move_each_step=0.5, move_distance=0.2, seed=5,
+    )
+    g0 = dyn.get_graph()
+    ev = dyn.generate(3)
+    replayed = apply_events(g0, ev)
+    assert _canon_edges(replayed) == _canon_edges(dyn.get_graph())
+    # movement honored the disk: radii in (0, R)
+    rows = dyn.get_coordinates().collect()
+    assert all(0.0 <= r["radius"] < dyn.R for r in rows)
+    # some movement happened and the structure changed at least once
+    assert ev.count() > 3  # more than just 3 TIME_STEPs
+
+
+def test_dynamic_hyperbolic_validation(spark):
+    from networkit_spark.dynamic_generators import DynamicHyperbolicGenerator
+    import pytest
+
+    with pytest.raises(ValueError):
+        DynamicHyperbolicGenerator(spark, n=1)
+    with pytest.raises(ValueError):
+        DynamicHyperbolicGenerator(spark, n=10, move_each_step=1.5)
