@@ -645,3 +645,79 @@ class NeighborhoodFunctionHeuristic(Algorithm):
         """``getNeighborhoodFunction`` — N(h) for h = 1..diameter."""
         self.assure_finished()
         return self._nf
+
+
+class IncompleteDijkstra:
+    """Lazy multi-source Dijkstra iterator — ``hasNext()``/``next()``
+    yielding settled ``(node, dist)`` pairs in nondecreasing distance.
+
+    Reference: ``IncompleteDijkstra``
+    (``include/networkit/distance/IncompleteDijkstra.hpp:29-54``,
+    ``cpp/distance/IncompleteDijkstra.cpp:17-62``): a binary-heap
+    Dijkstra whose frontier is PULLED one settled node at a time by the
+    caller; ``explored`` nodes are treated as absent. This is an
+    inherently sequential driver-pull API (each ``next()`` depends on
+    every prior pop), so like the reference it is a small-graph utility
+    — the adjacency is collected to the driver once; distributed
+    single/multi-source distances are :class:`~networkit_spark.
+    operators.distance.Dijkstra` / ``APSP``. The reference's only
+    internal consumer (ApproxCloseness) is ported against the
+    distributed path already.
+    """
+
+    def __init__(self, graph, sources, explored=None) -> None:
+        import heapq
+
+        if graph is None:
+            raise ValueError("G is null")
+        self._adj: dict[int, list[tuple[int, float]]] = {}
+        for r in graph.symmetrized().collect() if not graph.directed else graph.edges.collect():
+            self._adj.setdefault(int(r["src"]), []).append(
+                (int(r["dst"]), float(r["weight"]))
+            )
+        self._explored = set(int(x) for x in explored) if explored else set()
+        self._dists: dict[int, float] = {}
+        self._heap: list[tuple[float, int]] = []
+        self._settled: set[int] = set()
+        heapq.heapify(self._heap)
+        for s in sources:
+            s = int(s)
+            if s not in self._explored:
+                self._dists[s] = 0.0
+                heapq.heappush(self._heap, (0.0, s))
+
+    def _peek(self):
+        import heapq
+
+        # lazy-deletion heap: skip stale entries
+        while self._heap:
+            d, u = self._heap[0]
+            if u in self._settled or d > self._dists.get(u, float("inf")):
+                heapq.heappop(self._heap)
+                continue
+            return d, u
+        return None
+
+    def has_next(self) -> bool:
+        """``hasNext``."""
+        return self._peek() is not None
+
+    def next(self) -> tuple[int, float]:
+        """``next`` — settle and return the nearest unsettled node;
+        raises when exhausted (``IncompleteDijkstra.cpp:41-43``)."""
+        import heapq
+
+        top = self._peek()
+        if top is None:
+            raise ValueError("No next element")
+        dist_u, u = top
+        heapq.heappop(self._heap)  # _peek left the live entry on top
+        self._settled.add(u)
+        for v, w in self._adj.get(u, ()):
+            if v in self._explored or v in self._settled:
+                continue
+            nd = dist_u + w
+            if nd < self._dists.get(v, float("inf")):
+                self._dists[v] = nd
+                heapq.heappush(self._heap, (nd, v))
+        return (u, dist_u)

@@ -128,3 +128,28 @@ def test_neighborhood_function_guards(spark):
     g3 = Graph.from_edge_list(spark, [(0, 1)], directed=False)
     with pytest.raises(ValueError, match="strategy"):
         NeighborhoodFunctionHeuristic(g3, strategy="bogus")
+
+
+def test_incomplete_dijkstra(spark):
+    from networkit_spark.operators.distance_extras import IncompleteDijkstra
+
+    g = Graph.from_edge_list(
+        spark,
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0)],
+        directed=False, weighted=True,
+    )
+    it = IncompleteDijkstra(g, [0])
+    out = []
+    while it.has_next():
+        out.append(it.next())
+    # settled in nondecreasing distance: 0@0, 1@1, 2@3 (via 1), 3@4
+    assert out == [(0, 0.0), (1, 1.0), (2, 3.0), (3, 4.0)]
+    with pytest.raises(ValueError):
+        it.next()
+    # multi-source acts like a super source; explored nodes are absent
+    it2 = IncompleteDijkstra(g, [0, 3], explored={2})
+    got = dict()
+    while it2.has_next():
+        u, d = it2.next()
+        got[u] = d
+    assert got == {0: 0.0, 3: 0.0, 1: 1.0}
