@@ -327,6 +327,7 @@ boundaries through netty + the block manager. Per-executor resources
 constant ({EXEC_CORES} core{'s' if EXEC_CORES > 1 else ''} /
 {EXEC_MEM}); {pin_note}. Shuffle/local dirs under `{SHUFFLE_DIR_ROOT}`
 (`SPARK_GRAFT_SHUFFLE_DIR`; default tmpfs — see script header).
+Extra confs: {', '.join(f'`{c}`' for c in EXTRA_CONFS) if EXTRA_CONFS else 'none'}.
 
 Same job and input as `scaling_bench.py`: PageRank damping 0.85,
 {ITERS} fixed rounds, `{sf_dir}` link graph × {REPLICAS} disjoint
