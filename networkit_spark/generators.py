@@ -960,6 +960,103 @@ def mocnik_basic(
     return Graph(edges, directed=True, vertices=ids)
 
 
+def mocnik(
+    spark: SparkSession,
+    dim: int,
+    ns: int | list[int],
+    ks: float | list[float],
+    weighted: bool | list[float] = False,
+    seed: int = 42,
+) -> Graph:
+    """Mocnik spatial-network model, improved-generator SEMANTICS
+    (``cpp/generators/MocnikGenerator.cpp:19-340``,
+    ``include/networkit/generators/MocnikGenerator.hpp:134-140``): the
+    features the improved class adds over the basic one — multiple
+    LAYERS (``ns`` node counts with per-layer ``ks``), WEIGHTED edges
+    (weight = distance × per-layer relative weight; ``weighted`` may be
+    the bool flag or the relative-weight list), first-layer edges
+    winning on conflicts (``addEdgesToGraph``: non-base layers only add
+    edges not already present, ``MocnikGenerator.cpp:288-291``). The
+    reference's cell array / boxSurface machinery is purely its
+    sequential neighbor-search accelerator for the SAME model — the
+    distributed twin of that accelerator is the pair-frame + min-agg
+    plan shared with :func:`mocnik_basic` (at scale a grid-cell join as
+    in ``pub_web`` would replace the pair frame; fixture scale here,
+    like the reference's own use).
+
+    All layers share one position draw over ``max(ns)`` nodes
+    (``MocnikGenerator::generate`` draws positions once, lines
+    317-329); layer j's edges use the first ``ns[j]`` nodes with
+    ``k = ks[j]``.
+    """
+    ns_list = [ns] if isinstance(ns, int) else list(ns)
+    ks_list = [ks] * len(ns_list) if isinstance(ks, (int, float)) else list(ks)
+    if isinstance(weighted, bool):
+        rel = [1.0] * len(ns_list)
+        is_weighted = weighted
+    else:
+        rel = [float(w) for w in weighted]
+        is_weighted = True
+    if len(ks_list) != len(ns_list) or len(rel) != len(ns_list):
+        raise ValueError("ns, ks, and relative weights must align")
+    if any(n_ <= 1 for n_ in ns_list):
+        raise ValueError("every layer size must be > 1")
+    if any(k_ <= 1.0 for k_ in ks_list):
+        raise ValueError("every k must be > 1")
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    n_max = max(ns_list)
+    ids = spark.range(n_max).select(F.col("id").cast("long"))
+    pts = mocnik_points(spark, n_max, dim, seed).localCheckpoint()
+    if pts.count() != n_max:
+        raise RuntimeError("mocnik: rejection sampling missed for some id")
+    b = pts.select(
+        F.col("id").alias("nbr_id"),
+        *[F.col(f"x{j}").alias(f"y{j}") for j in range(dim)],
+    )
+    sq = None
+    for j in range(dim):
+        d = F.col(f"x{j}") - F.col(f"y{j}")
+        sq = d * d if sq is None else sq + d * d
+    edges = None
+    for layer, (n_l, k_l, rw) in enumerate(zip(ns_list, ks_list, rel)):
+        pair_ids = spark.range(n_l * n_l).select(
+            (F.col("id") / n_l).cast("long").alias("id"),
+            (F.col("id") % n_l).cast("long").alias("nbr_id"),
+        ).where(F.col("id") != F.col("nbr_id"))
+        pairs = (
+            pair_ids.join(pts, "id")
+            .join(b, "nbr_id")
+            .select("id", "nbr_id", F.sqrt(sq).alias("dist"))
+            .localCheckpoint()
+        )
+        dmin = pairs.groupBy("id").agg(F.min("dist").alias("dist_min"))
+        w_expr = (
+            (F.col("dist") * F.lit(rw)) if is_weighted else F.lit(1.0)
+        )
+        layer_edges = (
+            pairs.join(dmin.hint("shuffle_hash"), "id")
+            .where(F.col("dist") <= k_l * F.col("dist_min"))
+            .select(
+                F.col("id").alias("src"),
+                F.col("nbr_id").alias("dst"),
+                w_expr.alias("weight"),
+            )
+        )
+        if edges is None:
+            edges = layer_edges
+        else:
+            # non-base layers never override an existing edge
+            fresh = layer_edges.join(
+                edges.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            edges = edges.unionAll(fresh)
+    return Graph(
+        edges.localCheckpoint(), directed=True, weighted=is_weighted,
+        vertices=ids,
+    )
+
+
 def edge_switching_markov_chain(
     spark: SparkSession,
     degrees: list[int],

@@ -166,3 +166,49 @@ def test_edge_switching_preserves_degrees_and_simplicity(spark):
         for r in g2.edges.select("src", "dst").collect()
     ]
     assert sorted(pairs) == sorted(pairs2)
+
+
+def test_mocnik_improved_layers_and_weights(spark):
+    from networkit_spark.generators import mocnik, mocnik_basic, mocnik_points
+
+    # single unweighted layer == the basic generator exactly
+    g1 = mocnik(spark, dim=2, ns=30, ks=2.5, seed=3)
+    gb = mocnik_basic(spark, n=30, k=2.5, dim=2, seed=3)
+    e1 = {(r["src"], r["dst"]) for r in g1.edges.collect()}
+    eb = {(r["src"], r["dst"]) for r in gb.edges.collect()}
+    assert e1 == eb
+
+    # two layers + weighted: brute-force the reference semantics from
+    # the same point set (layer j = first ns[j] nodes, k = ks[j],
+    # weight = dist * rel[j], base layer wins conflicts)
+    import math
+
+    ns, ks, rel = [20, 30], [1.5, 2.5], [2.0, 1.0]
+    pts = {
+        int(r["id"]): (float(r["x0"]), float(r["x1"]))
+        for r in mocnik_points(spark, 30, 2, 3).collect()
+    }
+    expect = {}
+    for n_l, k_l, rw in zip(ns, ks, rel):
+        for i in range(n_l):
+            dmin = min(
+                math.dist(pts[i], pts[j]) for j in range(n_l) if j != i
+            )
+            for j in range(n_l):
+                d = math.dist(pts[i], pts[j])
+                if i != j and d <= k_l * dmin and (i, j) not in expect:
+                    expect[(i, j)] = d * rw
+    g2 = mocnik(spark, dim=2, ns=ns, ks=ks, weighted=rel, seed=3)
+    got = {
+        (r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()
+    }
+    assert set(got) == set(expect)
+    for e in expect:
+        assert abs(got[e] - expect[e]) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mocnik(spark, dim=2, ns=[10, 20], ks=[2.0], seed=3)
+    with pytest.raises(ValueError):
+        mocnik(spark, dim=2, ns=10, ks=0.5, seed=3)
