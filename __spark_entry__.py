@@ -1857,6 +1857,9 @@ def q_kadabra_sql() -> str:
                 * ((SELECT count(*) FROM nodes) - 1)), 6) AS exact,
        TRUE AS within_eps
 FROM nodes n LEFT JOIN bc t USING (id)""",
+        # the thin graph's diameter varies with sf (4 at sf0.01, 19 at
+        # sf0.001); 20 covers both with empty near-free tail levels
+        hops=20,
     )
 
 
@@ -1956,25 +1959,123 @@ FROM elab{_BICON_E_ROUNDS}
 """
 
 
+_N2V = dict(p=0.5, q=2.0, walk_length=6, walks_per_node=2, dim=8,
+            window=3, seed=7)
+
+
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Node2Vec embeddings (p=0.5, q=2.0) — rows+schema gate (the
-    walk sampler is a seeded stochastic estimator with no closed SQL
-    form; walk validity / determinism / finiteness are pytest-gated in
-    tests/test_node2vec.py). The ``dim``-wide feature vector is
-    flattened with ``posexplode`` to scalar ``(id, pos, value)`` rows
-    so the driver's canonicalizer (pandas sort over all columns) can
-    sort/hash the frame — an array column is unhashable there."""
+    """Node2Vec (p=0.5, q=2.0) — FULLY hash-gated in portable mode.
+    Every random draw is an md5-prefix hash, the race keys
+    ``−ln(u)/bias`` have dyadic biases (weights are integer
+    multiplicities; p, q dyadic) and dyadic-rational u, co-occurrence
+    counts and PPMI inputs are exact integers, and the Rademacher
+    projection sums 1e-6-lattice integers (< 2^53 ⇒ exact in any
+    order) — so the gate frame ``(id, d, lane)`` is ALL-INTEGER and
+    DuckDB re-derives the entire pipeline (walk unroll → window
+    co-occurrence → PPMI → signed lane sums) value-for-value. The only
+    float comparisons left are strict inequalities between continuous
+    race keys / log args, where a cross-engine ulp flip has measure
+    ~1e-13 per comparison. Walk validity / determinism / finiteness
+    are additionally pytest-gated (tests/test_node2vec.py). Reference
+    contract: cpp/embedding/Node2Vec.cpp:36-62."""
     from networkit_spark.operators.node2vec import Node2Vec
 
     g = undirected_graph(spark, sf_dir)
-    n2v = Node2Vec(
-        g, p=0.5, q=2.0, walk_length=6, walks_per_node=2, dim=8,
-        window=3, seed=7,
-    ).run()
-    feats = n2v.get_features().select(
-        "id", F.posexplode("feature").alias("pos", "value")
+    n2v = Node2Vec(g, portable=True, **_N2V).run()
+    return n2v.projection_lanes().select("id", "d", "lane")
+
+
+def q_node2vec_sql() -> str:
+    p, q = _N2V["p"], _N2V["q"]
+    L, wpn = _N2V["walk_length"], _N2V["walks_per_node"]
+    dim, win, seed = _N2V["dim"], _N2V["window"], _N2V["seed"]
+
+    def md5u(tag: str, parts: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('{tag}:' || {parts}), 1, 8)) "
+            "AS BIGINT))"
+        )
+
+    steps = [
+        f"""st0 AS MATERIALIZED (
+  SELECT n.id * {wpn} + r.range AS walk_id,
+         CAST(NULL AS BIGINT) AS prev, n.id AS cur
+  FROM nodes n, range({wpn}) r
+),
+em0 AS (SELECT walk_id, 0 AS pos, cur AS node FROM st0)"""
+    ]
+    for k in range(1, L):
+        if k == 1:
+            bias = "1.0"
+            nbjoin = ""
+        else:
+            bias = (
+                f"CASE WHEN c.x = c.prev THEN c.weight / {p} "
+                "WHEN nb.is_nbr THEN c.weight "
+                f"ELSE c.weight / {q} END"
+            )
+            nbjoin = (
+                "LEFT JOIN (SELECT src AS prev, dst AS x, TRUE AS is_nbr "
+                "FROM sym) nb ON nb.prev = c.prev AND nb.x = c.x"
+            )
+        u = md5u(f"n2v{seed}", f"c.walk_id || ':' || {k} || ':' || c.x")
+        steps.append(
+            f"""st{k} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, x AS cur FROM (
+    SELECT c.walk_id, c.cur, c.x,
+           row_number() OVER (
+             PARTITION BY c.walk_id
+             ORDER BY -ln(({u} + 1.0) / 4294967296.0) / ({bias}) ASC,
+                      c.x ASC
+           ) AS rn
+    FROM (
+      SELECT s.walk_id, s.prev, s.cur, e.dst AS x, e.weight
+      FROM st{k - 1} s JOIN sym e ON e.src = s.cur
+    ) c
+    {nbjoin}
+  ) WHERE rn = 1
+),
+em{k} AS (SELECT walk_id, {k} AS pos, cur AS node FROM st{k})"""
+        )
+    walk_union = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM em{k}" for k in range(L)
     )
-    return feats.select("id", "pos", F.round("value", 6).alias("value"))
+    sign = md5u(f"n2vsign{seed}", "pp.w || ':' || dd.range")
+    return f"""
+WITH {_sql_undirected(V_SMALL)},
+{",".join(steps)},
+walks AS MATERIALIZED (
+{walk_union}
+),
+co AS MATERIALIZED (
+  SELECT a.node AS u, b.node AS w, CAST(count(*) AS DOUBLE) AS n_uw
+  FROM walks a JOIN walks b ON b.walk_id = a.walk_id
+  WHERE a.pos <> b.pos AND abs(a.pos - b.pos) <= {win}
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_uw) AS t FROM co),
+nu AS (SELECT u, sum(n_uw) AS n_u FROM co GROUP BY u),
+nw AS (SELECT w, sum(n_uw) AS n_w FROM co GROUP BY w),
+ppmi AS MATERIALIZED (
+  SELECT co.u, co.w,
+         greatest(0.0, ln(co.n_uw * tot.t / (nu.n_u * nw.n_w))) AS ppmi
+  FROM co JOIN nu USING (u) JOIN nw USING (w), tot
+  WHERE ln(co.n_uw * tot.t / (nu.n_u * nw.n_w)) > 0
+),
+lanes AS MATERIALIZED (
+  SELECT pp.u AS id, CAST(dd.range AS INT) AS d,
+         CAST(sum(floor(pp.ppmi * 1e6 + 0.5)
+                  * (CASE WHEN {sign} % 2 = 0 THEN 1.0 ELSE -1.0 END))
+              AS BIGINT) AS lane
+  FROM ppmi pp, range({dim}) dd
+  GROUP BY 1, 2
+)
+SELECT n.id AS id, CAST(dd.range AS INT) AS d,
+       coalesce(l.lane, 0) AS lane
+FROM nodes n
+CROSS JOIN range({dim}) dd
+LEFT JOIN lanes l ON l.id = n.id AND l.d = CAST(dd.range AS INT)
+"""
 
 
 _KPATH_K = 4
@@ -2381,13 +2482,15 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.scores().select("id", F.round("score", 6).alias("score"))
 
 
-def _brandes_sql(preamble: str, final_select: str) -> str:
+def _brandes_sql(preamble: str, final_select: str, hops: int | None = None) -> str:
     """Brandes unrolled by BFS level over whichever ``e``/``nodes`` the
     ``preamble`` defines: dist via recursive CTE, per-level path counts
     sigma forward, dependency deltas backward — exactly the
     batched-layer construction the Spark operator uses.
-    ``final_select`` consumes ``nodes`` and ``bc(id, sc)``."""
-    H = _BC_HOPS
+    ``final_select`` consumes ``nodes`` and ``bc(id, sc)``. ``hops``
+    overrides the unroll depth (must be ≥ the graph diameter; levels
+    past the true depth are empty and near-free)."""
+    H = hops if hops is not None else _BC_HOPS
     # MATERIALIZED: DuckDB inlines CTEs by default, so each unrolled
     # level would re-run the recursive dist walk — hint forces one pass
     lvls = []
@@ -3579,14 +3682,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_scalars) sit past it.
 
     Round-4 choice: no keys added or displaced — the window stays the
-    same 50 families; the round instead upgraded four existing keys
-    from rows-only to hash-gated (biconnected, kadabra, kpath,
-    emb_ann_ivf), leaving node2vec as the single rows+schema row
-    (stochastic embedding values, flattened via posexplode so the
-    canonicalizer can hash rows/schema). MatchingCoarsening (new this
-    round) is covered by pytest + COVERAGE rather than a new key: the
-    coarsening contract is already hash-gated by the `coarsen` family
-    and the matching side by `matching`."""
+    same 50 families; the round instead upgraded ALL five rows-only
+    keys to hash-gated (biconnected, kadabra, kpath, emb_ann_ivf, and
+    finally node2vec via its portable md5 + integer-lattice mode), so
+    every one of the 50 gated queries now carries a DuckDB oracle.
+    MatchingCoarsening (new this round) is covered by pytest +
+    COVERAGE rather than a new key: the coarsening contract is already
+    hash-gated by the `coarsen` family and the matching side by
+    `matching`."""
     return {
         # -- north-rule graph kernels
         "degree": q_degree,
@@ -3679,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         "same_community": q_same_community_sql(),
         "node_misc_scores": q_node_misc_scores_sql(),
         "spectral_ranks": q_spectral_ranks_sql(),
+        "node2vec": q_node2vec_sql(),
         "partition_quality": q_partition_quality_sql(),
         "biconnected": q_biconnected_sql(),
         "kadabra": q_kadabra_sql(),

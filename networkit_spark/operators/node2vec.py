@@ -82,7 +82,19 @@ class Node2Vec(Algorithm):
         dim: int = 128,
         window: int = 10,
         seed: int = 1,
+        portable: bool = False,
     ) -> None:
+        """``portable=True`` swaps every random draw from ``xxhash64``
+        to the md5-prefix hash (``dedup.portable_hash32``) and fixes
+        the PPMI lanes on the 1e-6 integer lattice, making the ENTIRE
+        pipeline — walks, co-occurrence, PPMI, Rademacher projection —
+        reproducible bit-for-bit in ANSI SQL: the walk race keys are
+        ``−ln(u)/bias`` with dyadic biases (weight·{1/p, 1, 1/q} for
+        dyadic p, q) and dyadic-rational u, the co-occurrence and PPMI
+        inputs are exact integers, and the projection sums integers
+        below 2^53 (exact in any order). ``projection_lanes()`` then
+        exposes the all-integer pre-normalization frame the driver
+        gate hashes against a DuckDB twin."""
         if p <= 0 or q <= 0:
             raise ValueError("p and q must be positive")
         if walk_length < 1 or walks_per_node < 1 or dim < 1 or window < 1:
@@ -95,8 +107,10 @@ class Node2Vec(Algorithm):
         self.dim = dim
         self.window = window
         self.seed = seed
+        self.portable = portable
         self._walks: DataFrame | None = None
         self._features: DataFrame | None = None
+        self._lanes: DataFrame | None = None
 
     # ------------------------------------------------------------ walks
     def _biased_walks(self) -> DataFrame:
@@ -154,16 +168,31 @@ class Node2Vec(Algorithm):
                     .when(F.col("is_nbr"), F.col("weight"))
                     .otherwise(F.col("weight") / self.q)
                 )
-            u = _uniform(
-                F.col("walk_id"), F.lit(step), F.col("x"), seed=self.seed
-            )
+            if self.portable:
+                from networkit_spark.operators.dedup import portable_hash32
+
+                h = portable_hash32(
+                    F.concat_ws(
+                        ":",
+                        F.col("walk_id").cast("string"),
+                        F.lit(step).cast("string"),
+                        F.col("x").cast("string"),
+                    ),
+                    f"n2v{self.seed}",
+                )
+                # dyadic rational in (0, 1] — exactly representable
+                u = (h.cast("double") + F.lit(1.0)) / F.lit(2.0**32)
+            else:
+                u = _uniform(
+                    F.col("walk_id"), F.lit(step), F.col("x"), seed=self.seed
+                )
             key = -F.log(u) / bias
+            # struct-min: deterministic tie rule (race, then smallest x)
+            # — min_by leaves equal-race ties undefined
             nxt = (
                 cand.select("walk_id", "cur", "x", key.alias("race"))
                 .groupBy("walk_id")
-                .agg(
-                    F.min_by(F.struct("x", "cur"), "race").alias("pick"),
-                )
+                .agg(F.min(F.struct("race", "x", "cur")).alias("pick"))
                 .select(
                     "walk_id",
                     F.col("pick.cur").alias("prev"),
@@ -222,16 +251,60 @@ class Node2Vec(Algorithm):
         )
         # Rademacher projection: sign(w, d) = ±1 from the seeded hash
         d_col = F.explode(F.sequence(F.lit(0), F.lit(self.dim - 1))).alias("d")
-        sign = F.when(
-            (F.xxhash64(F.lit(self.seed + 1), F.col("w"), F.col("d"))
-             % 2) == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+        if self.portable:
+            from networkit_spark.operators.dedup import portable_hash32
+
+            sign = F.when(
+                portable_hash32(
+                    F.concat_ws(
+                        ":",
+                        F.col("w").cast("string"),
+                        F.col("d").cast("string"),
+                    ),
+                    f"n2vsign{self.seed}",
+                )
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            # 1e-6 integer lattice: the lane sum is then a sum of
+            # integers < 2^53 — exact in any order, hence identical in
+            # any engine (see __init__ docstring)
+            contrib = F.floor(F.col("ppmi") * F.lit(1e6) + F.lit(0.5)) * sign
+        else:
+            sign = F.when(
+                (F.xxhash64(F.lit(self.seed + 1), F.col("w"), F.col("d"))
+                 % 2) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            contrib = F.col("ppmi") * sign
         comp = (
             ppmi.select("u", "w", "ppmi", d_col)
             .groupBy("u", "d")
-            .agg(F.sum(F.col("ppmi") * sign).alias("val"))
+            .agg(F.sum(contrib).alias("val"))
         )
+        if self.portable:
+            self._lanes = (
+                self.graph.vertices.select("id")
+                .crossJoin(
+                    self.graph.vertices.sparkSession.range(self.dim).select(
+                        F.col("id").cast("int").alias("d")
+                    )
+                )
+                .join(
+                    comp.select(F.col("u").alias("id"), "d", "val"),
+                    ["id", "d"],
+                    "left",
+                )
+                .select(
+                    "id",
+                    "d",
+                    F.coalesce("val", F.lit(0.0)).cast("long").alias("lane"),
+                )
+            ).localCheckpoint()
+            comp = comp.select(
+                "u", "d", (F.col("val") / F.lit(1e6)).alias("val")
+            )
         feats = (
             comp.groupBy(F.col("u").alias("id"))
             .agg(
@@ -284,3 +357,15 @@ class Node2Vec(Algorithm):
         (``Node2Vec::getFeatures``)."""
         self.assure_finished()
         return self._features
+
+    def projection_lanes(self) -> DataFrame:
+        """``(id, d, lane)`` — the ALL-INTEGER pre-normalization
+        projection lanes (portable mode only): lane = Σ_w
+        round(1e6·PPMI(u,w))·sign(w,d). Every value is an exact
+        integer, so the frame is bit-reproducible across engines — the
+        driver's node2vec hash gate compares it against an independent
+        DuckDB recomputation of the whole pipeline."""
+        self.assure_finished()
+        if self._lanes is None:
+            raise RuntimeError("projection_lanes requires portable=True")
+        return self._lanes
