@@ -64,6 +64,9 @@ SHUFFLE_DIR_ROOT = os.environ.get("SPARK_GRAFT_SHUFFLE_DIR", "/dev/shm")
 EXTRA_CONFS = [
     kv for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";") if kv
 ]
+# shuffle-partition granularity: tasks per core (ceiling experiments —
+# finer tasks smooth scheduling, coarser ones cut per-task overhead)
+PARTS_PER_CORE = int(os.environ.get("SPARK_GRAFT_PARTS_PER_CORE", "4"))
 
 # host CPUs actually available to this process — pinning assumed a
 # ≥32-CPU host before; now the driver takes the LAST 4 available CPUs
@@ -102,7 +105,7 @@ copies = [
 edges = copies[0]
 for c in copies[1:]:
     edges = edges.unionAll(c)
-g = Graph(edges.repartition(4 * cores, "src").persist(), directed=True, weighted=True)
+g = Graph(edges.repartition(PARTS_PLACEHOLDER * cores, "src").persist(), directed=True, weighted=True)
 m = g.number_of_edges()
 # full-length warm pass (JIT/shuffle-path/cache), excluded from timing —
 # same protocol as scripts/scaling_bench.py
@@ -196,6 +199,7 @@ def run_level(cores: int, n_high: int, sf_dir: str, pyzip: str) -> dict:
             .replace("ITERS_PLACEHOLDER", str(ITERS))
             .replace("XWIDTH_PLACEHOLDER", str(EXEC_CORES))
             .replace("RUNS_PLACEHOLDER", str(RUNS))
+            .replace("PARTS_PLACEHOLDER", str(PARTS_PER_CORE))
         )
         job_path = f"/tmp/standalone_job_{cores}.py"
         with open(job_path, "w") as f:
@@ -208,10 +212,11 @@ def run_level(cores: int, n_high: int, sf_dir: str, pyzip: str) -> dict:
             "--conf", f"spark.executor.memory={EXEC_MEM}",
             "--conf", f"spark.cores.max={cores}",
             "--conf", "spark.driver.memory=8g",
-            # 4 partitions per core: one task per slot per round makes
-            # every straggler a full-round stall with single-core
-            # executors; finer tasks smooth scheduling at both levels
-            "--conf", f"spark.sql.shuffle.partitions={4 * cores}",
+            # PARTS_PER_CORE partitions per core (default 4): one task
+            # per slot per round makes every straggler a full-round
+            # stall with single-core executors; finer tasks smooth
+            # scheduling at both levels
+            "--conf", f"spark.sql.shuffle.partitions={PARTS_PER_CORE * cores}",
             "--conf", "spark.sql.adaptive.enabled=true",
             # a 1-core executor has one task slot — waiting for data
             # locality just idles it
@@ -297,6 +302,7 @@ def main() -> None:
         "wall_basis": low.get("wall_basis", "median"),
         "shuffle_dir_root": SHUFFLE_DIR_ROOT,
         "extra_confs": EXTRA_CONFS,
+        "parts_per_core": PARTS_PER_CORE,
         "scaling_efficiency": round(eff, 3),
         # best single run at each level (run count recorded in wall_basis)
         "scaling_efficiency_best": round(eff_best, 3),
