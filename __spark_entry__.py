@@ -1889,11 +1889,16 @@ def q_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BICON_W_ROUNDS = 14  # per-w hash-min rounds ≥ max diameter of G−w
-_BICON_E_ROUNDS = 12  # edge-graph hash-min rounds ≥ max block diameter
-# (measured at sf0.001/sf0.01: labels converge well inside both budgets —
-# scripts-level prototype matched a sequential Tarjan exactly; a
-# non-converged unroll shows as a visible hash MISMATCH, never a pass)
+_BICON_W_ROUNDS = 20  # per-w hash-min rounds ≥ max diameter of G−w —
+# pinned to the SAME 20-hop budget as the kadabra Brandes twin (whose
+# sf0.001 thin-family graph measured diameter 19), not the empirical 14
+# that convergence at sf0.001/sf0.01 happened to need: a slightly
+# different fixture shape must not leave wlab unconverged (round 4
+# advice). Labels converge well inside the budget on both gate SFs —
+# a scripts-level prototype matched a sequential Tarjan exactly; a
+# non-converged unroll shows as a visible hash MISMATCH, never a pass.
+_BICON_E_ROUNDS = 16  # edge-graph hash-min rounds ≥ max block diameter
+# (measured ≤ 12; +4 margin for the same fixture-drift reason)
 
 
 def q_biconnected_sql() -> str:

@@ -49,12 +49,17 @@ def bench_pagerank(spark, sf_dir: str) -> dict:
 
     g = directed_graph(spark, sf_dir)
     m = g.number_of_edges()
-    # One full-length warm pass (excluded from timing), mirroring
-    # bench_pagerank_scaled and scripts/scaling_bench.py: the first
-    # convergence run in a fresh JVM pays JIT/codegen compilation that a
-    # long-lived cluster job amortizes away (measured: run 1 is ~1.5-2x
-    # run 3 on identical plans).
-    _materialize(PageRank(g, damp=0.85, tol=1e-6, norm="l1").run().scores())
+    # FOUR full-length warm passes (excluded from timing). At sf0.1 this
+    # job is driver/JIT-bound (597k edges × 7 rounds ≈ 26 small codegen
+    # units), and C2 compilation keeps landing through the first ~4 full
+    # convergence runs: measured fresh-JVM wall trend 12.7 → 6.3 → 5.9 →
+    # 4.9 → 3.8 → 3.9 → 4.0 → 3.8 → 4.0 s (round 5, identical plans).
+    # The old 1-warm protocol sampled runs 2-4 of that curve — the
+    # middle of the warm-up tail — which is exactly why r3/r4 medians
+    # wandered 5.6-7.2 s on byte-identical code. The steady state is
+    # what a long-lived cluster job sees; the plateau is the metric.
+    for _ in range(4):
+        _materialize(PageRank(g, damp=0.85, tol=1e-6, norm="l1").run().scores())
     walls, iters = [], 0
     for _ in range(N_RUNS):
         t0 = time.time()

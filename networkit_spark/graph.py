@@ -80,6 +80,17 @@ def zip_dense_rank(df: DataFrame, col: str, out_col: str = "rank") -> DataFrame:
     return spark.createDataFrame(rdd, out)
 
 
+def _csr_table_names(path: str) -> tuple[str, str]:
+    """Deterministic catalog names for a bucketed CSR directory — a
+    pure function of the absolute path so any session reopening the
+    same directory converges on the same table entries."""
+    import hashlib
+    import os as _os
+
+    h = hashlib.md5(_os.path.abspath(path).encode()).hexdigest()[:10]
+    return f"nk_csr_{h}_fwd", f"nk_csr_{h}_rev"
+
+
 class Graph:
     """Immutable graph over an ``edges(src, dst, weight)`` DataFrame."""
 
@@ -109,6 +120,10 @@ class Graph:
         self._degrees: DataFrame | None = None
         self._n: int | None = None
         self._m: int | None = None
+        #: set by :meth:`load_csr` on the bucketed layout — the bucket
+        #: count of the hash(src) edge layout and the stored transpose.
+        self.csr_buckets: int | None = None
+        self.in_edges: DataFrame | None = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -333,29 +348,111 @@ class Graph:
         )
 
     # ------------------------------------------------------------- layout
-    def persist_csr(self, path: str, num_partitions: int | None = None) -> None:
-        """Write the CSR-analog layout: range-partitioned by ``src``,
-        sorted within partitions by ``(src, dst)`` — the reference's
-        chunked binary CSR (``cpp/io/NetworkitBinaryGraph.md:9-60``) in
-        Parquet clothing; also writes the stored transpose (the binary
-        format's transpose block, ``NetworkitBinaryGraph.md:53-60``) so
-        in-neighborhood scans never re-shuffle."""
+    def persist_csr(
+        self,
+        path: str,
+        num_partitions: int | None = None,
+        buckets: int | None = None,
+    ) -> None:
+        """Write the CSR-analog layout — the reference's chunked binary
+        CSR (``cpp/io/NetworkitBinaryGraph.md:9-60``) in Parquet
+        clothing; also writes the stored transpose (the binary format's
+        transpose block, ``NetworkitBinaryGraph.md:53-60``) so
+        in-neighborhood scans never re-shuffle.
+
+        Two layouts:
+
+        - ``buckets=None`` (default): range-partitioned by ``src``,
+          sorted within partitions by ``(src, dst)`` — best for range
+          pruning / sequential neighborhood scans.
+        - ``buckets=B``: **hash-bucketed table** (``CLUSTERED BY (src)
+          … INTO B BUCKETS``) — the catalog records the hash
+          partitioning, so a fresh session's :meth:`load_csr` gets a
+          scan whose output partitioning ALREADY satisfies every
+          ``groupBy("src")`` / join-on-``src`` downstream: the
+          degree aggregation and the contrib-build join of the
+          iterative kernels plan with **zero exchange on the edge
+          side**, straight off disk. Pick B = the cluster's shuffle
+          partition count so per-round joins co-locate exactly.
+        """
         df = self.edges
-        if num_partitions:
-            fwd = df.repartitionByRange(num_partitions, "src")
-            rev = df.repartitionByRange(num_partitions, "dst")
+        if buckets:
+            spark = df.sparkSession
+            fwd_t, rev_t = _csr_table_names(path)
+            for name, bcol, scols, sub in (
+                (fwd_t, "src", ("src", "dst"), "edges"),
+                (rev_t, "dst", ("dst", "src"), "edges_rev"),
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(buckets, bcol)
+                    .sortBy(*scols)
+                    .option("path", f"{path}/{sub}")
+                    .saveAsTable(name)
+                )
+            meta = {"layout": "bucketed", "buckets": buckets}
         else:
-            fwd = df.repartitionByRange("src")
-            rev = df.repartitionByRange("dst")
-        fwd.sortWithinPartitions("src", "dst").write.mode("overwrite").parquet(
-            f"{path}/edges"
-        )
-        rev.sortWithinPartitions("dst", "src").write.mode("overwrite").parquet(
-            f"{path}/edges_rev"
-        )
+            if num_partitions:
+                fwd = df.repartitionByRange(num_partitions, "src")
+                rev = df.repartitionByRange(num_partitions, "dst")
+            else:
+                fwd = df.repartitionByRange("src")
+                rev = df.repartitionByRange("dst")
+            fwd.sortWithinPartitions("src", "dst").write.mode("overwrite").parquet(
+                f"{path}/edges"
+            )
+            rev.sortWithinPartitions("dst", "src").write.mode("overwrite").parquet(
+                f"{path}/edges_rev"
+            )
+            meta = {"layout": "range"}
+        import json as _json
+
+        with open(f"{path}/_csr_meta.json", "w") as f:
+            _json.dump(meta, f)
 
     @classmethod
     def load_csr(
         cls, spark: SparkSession, path: str, directed: bool = False, weighted: bool = False
     ) -> "Graph":
-        return cls(spark.read.parquet(f"{path}/edges"), directed=directed, weighted=weighted)
+        """Reopen a :meth:`persist_csr` directory. For the bucketed
+        layout the (session-scoped) catalog entries are re-registered
+        with the same ``CLUSTERED BY`` spec over the existing files —
+        Spark's bucketed files carry the bucket id in the file name, so
+        an external-table DDL over them is exact — and the returned
+        graph carries ``csr_buckets`` / ``in_edges`` so kernels (and
+        callers doing in-neighborhood scans) can exploit the co-located
+        layout."""
+        import json as _json
+        import os as _os
+
+        meta = {}
+        meta_path = f"{path}/_csr_meta.json"
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+        if meta.get("layout") == "bucketed":
+            b = int(meta["buckets"])
+            fwd_t, rev_t = _csr_table_names(path)
+            for name, bcol, scols, sub in (
+                (fwd_t, "src", "src, dst", "edges"),
+                (rev_t, "dst", "dst, src", "edges_rev"),
+            ):
+                if not spark.catalog.tableExists(name):
+                    spark.sql(
+                        f"CREATE TABLE {name} (src BIGINT, dst BIGINT, "
+                        f"weight DOUBLE) USING PARQUET "
+                        f"CLUSTERED BY ({bcol}) SORTED BY ({scols}) "
+                        f"INTO {b} BUCKETS LOCATION '{path}/{sub}'"
+                    )
+            g = cls(spark.table(fwd_t), directed=directed, weighted=weighted)
+            g.csr_buckets = b
+            g.in_edges = spark.table(rev_t)
+            return g
+        g = cls(
+            spark.read.parquet(f"{path}/edges"), directed=directed, weighted=weighted
+        )
+        g.csr_buckets = None
+        g.in_edges = None
+        return g

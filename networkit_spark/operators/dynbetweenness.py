@@ -437,6 +437,25 @@ class _DynPairsState:
         old and new ``(d, sigma)`` per changed pair (old columns null
         for newly connected pairs)."""
         g = self.graph
+        # Consistent-stream guard: the closed-form relaxation assumes
+        # the edge is NEW — re-inserting an existing edge would add its
+        # via-path counts to sigma a second time and silently corrupt
+        # every subsequent delta. In hop metric an edge u→v exists iff
+        # d(u, v) == 1, so the pair frame itself is the edge lookup
+        # (the reference makes the same assumption via GraphUpdater's
+        # consistent event stream, cpp/dynamics/GraphUpdater.cpp).
+        if (
+            pairs.where(
+                (F.col("s") == u) & (F.col("t") == v) & (F.col("d") == 1)
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"edge ({u}, {v}) already exists — dynamic betweenness "
+                "requires a consistent event stream (no duplicate "
+                "EDGE_ADDITION)"
+            )
         orients = [(u, v)] if g.directed else [(u, v), (v, u)]
         vias = []
         for a, b in orients:

@@ -301,17 +301,23 @@ def cosine_near_dup_lsh(
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
     )
-    # persisted: read again for the size agg and both sides of the
-    # pair self-join
-    vb = _bucketed(v, "vid", tables, planes, dim).persist()
+    vb = _bucketed(v, "vid", tables, planes, dim)
     # size first with a COUNT (safe for any bucket size), never
     # collect_list: a degenerate bucket would otherwise materialize its
-    # whole member array in one reducer before the guard could drop it
-    sized = vb.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("sz"))
-    ok = sized.where((F.col("sz") > 1) & (F.col("sz") <= max_bucket)).select(
-        "t", "bucket"
+    # whole member array in one reducer before the guard could drop it.
+    # The count is a window over (t, bucket) fused into the SAME
+    # exchange the pair self-join needs — one shuffle sizes the buckets,
+    # applies the cap, and leaves rows hash-partitioned on the join key
+    # (vs. the previous separate groupBy-count + join-back, which paid
+    # an extra aggregation exchange over the full bucket frame).
+    kept = (
+        vb.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("t", "bucket"))
+        )
+        .where((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+        .select("t", "bucket", "vid")
+        .persist()
     )
-    kept = vb.join(ok, ["t", "bucket"])
     left = kept.select("t", "bucket", F.col("vid").alias("id_a"))
     right = kept.select("t", "bucket", F.col("vid").alias("id_b"))
     # dedupe bare id pairs (hash aggregate on two longs), THEN re-attach

@@ -87,6 +87,135 @@ def salted_gather_join(
     return joined.drop("_salt")
 
 
+#: Engage the salted layout when ONE key's row share exceeds this many
+#: average partitions' worth of data (share > HUB_PARTITION_SHARE / P).
+#: Below it, the straggler task costs less than the salting shuffle
+#: overhead (state replication + wider key). Set from the round-5
+#: microbench (`scripts/skew_microbench.py`, BENCH/skew_microbench.md):
+#: at 76M edges / 32 partitions, a 10%-share hub src (= 3.2 average
+#: partitions) already costs ~2.3x per round unsalted and is fully
+#: recovered by n_salts=32 salting, while AQE cannot help at all — the
+#: skew is baked into the persisted iterate layout, and there is no
+#: exchange left for OptimizeSkewedJoin to split. A key at ~2 average
+#: partitions is round-time-neutral. Policy: engage between 2 and 3
+#: average partitions of share — 2.0 is the conservative default.
+HUB_PARTITION_SHARE = 2.0
+
+
+def hub_keys(
+    df: DataFrame,
+    key: str,
+    num_partitions: int,
+    share: float = HUB_PARTITION_SHARE,
+) -> DataFrame:
+    """Keys whose row count exceeds ``share`` average partitions of
+    ``df`` — the candidates for :func:`salted_iterate_layout`. One
+    aggregation over the frame (map-side combined), run ONCE at ingest
+    time, not per round. Returns ``(key)``."""
+    total = df.count()
+    cap = share * total / num_partitions
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > cap)
+        .select(key)
+    )
+
+
+def salted_iterate_layout(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    hubs: DataFrame,
+    salt_from: str,
+    n_salts: int = 32,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, list]:
+    """Skew-proof layout for the iterative gather join
+    ``big ⋈ small ON big_key = small_key`` when a hub value of
+    ``big_key`` (e.g. a 10^7-out-degree vertex) is baked into the
+    persisted big-side partitioning.
+
+    Why AQE cannot do this: iterative kernels persist the big side
+    pre-partitioned and reuse it every round, so the round join has NO
+    exchange on the big side for ``OptimizeSkewedJoin`` to split — the
+    hub's rows sit in one cached partition and its task straggles every
+    round. Salting must therefore happen ONCE, in the layout itself:
+
+    - big rows of hub keys get ``_salt = xxhash64(salt_from) % n_salts``
+      (``salt_from`` = any per-row-varying column, e.g. the edge's other
+      endpoint), non-hub rows ``_salt = 0``;
+    - small rows of hub keys are replicated ``n_salts``× (one per
+      salt), non-hub rows carry ``_salt = 0`` only;
+    - both sides partition on ``(key, _salt)`` and the round join uses
+      ``[big_key = small_key, _salt = _salt]``.
+
+    Results are row-identical to the unsalted join; extra cost is
+    ``(n_salts - 1) x |hubs|`` small-side rows per round. Returns
+    ``(big_salted, small_salted, join_condition_keys)`` where the big
+    side is already repartitioned (persist it, as you would the
+    unsalted layout) and the caller must apply the same
+    ``_salt``-attach + replicate transform to each round's fresh state
+    (:func:`salted_state` does it)."""
+    hub_flag = hubs.select(F.col(big_key).alias("_hub_key")).withColumn(
+        "_is_hub", F.lit(True)
+    )
+    big_s = (
+        big.join(
+            F.broadcast(hub_flag),
+            big[big_key] == hub_flag["_hub_key"],
+            "left",
+        )
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hub"),
+                (F.abs(F.xxhash64(F.col(salt_from))) % n_salts).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hub_key", "_is_hub")
+    )
+    parts = num_partitions or big.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    big_s = big_s.repartition(int(parts), big_key, "_salt")
+    small_s = salted_state(small, small_key, hubs, big_key, n_salts)
+    return big_s, small_s, [big_key, small_key, "_salt"]
+
+
+def salted_state(
+    state: DataFrame,
+    state_key: str,
+    hubs: DataFrame,
+    hub_key: str,
+    n_salts: int,
+) -> DataFrame:
+    """Replicate hub-key state rows across all salts (non-hub rows get
+    salt 0) — apply to EVERY round's fresh state before the salted
+    gather join."""
+    hub_flag = hubs.select(F.col(hub_key).alias("_hub_key")).withColumn(
+        "_is_hub", F.lit(True)
+    )
+    return (
+        state.join(
+            F.broadcast(hub_flag),
+            state[state_key] == hub_flag["_hub_key"],
+            "left",
+        )
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_is_hub"),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hub_key", "_is_hub")
+    )
+
+
 def salt_column(key: Column, n_salts: int) -> Column:
     """Deterministic salt 0..n_salts-1 for composing salted groupBys:
     ``df.groupBy(key, salt_column(other_col, 32))`` — the two-level

@@ -1594,6 +1594,8 @@ def write_postscript(
 
 _MI_INT8, _MI_UINT8, _MI_INT32, _MI_UINT32 = 1, 2, 5, 6
 _MI_DOUBLE, _MI_MATRIX, _MI_COMPRESSED = 9, 14, 15
+_MI_SINGLE = 7
+_MI_INT_TYPES = (1, 2, 3, 4, 5, 6, 12, 13)  # the types _mat_ints decodes
 _MX_DOUBLE_CLASS, _MX_SPARSE_CLASS = 6, 5
 _MI_SIZES = {1: 1, 2: 1, 3: 2, 4: 2, 5: 4, 6: 4, 7: 4, 9: 8, 12: 8, 13: 8}
 
@@ -1673,9 +1675,19 @@ def read_mat(spark: SparkSession, path: str, key: str = "G") -> Graph:
         jc = _mat_ints(subs[4][0], subs[4][1])
         vtype, vpay = subs[5]
         nnz = jc[n]
-        vals = struct.unpack(f"<{nnz}d", vpay[: 8 * nnz]) if vtype == _MI_DOUBLE else [
-            1.0
-        ] * nnz
+        # MATLAB stores integral-valued double data in compressed
+        # integer element types (miUINT8/miINT16/…): decode those too so
+        # an explicitly-stored zero is not misread as an edge. Only a
+        # value type we genuinely cannot decode falls back to
+        # all-nonzero.
+        if vtype == _MI_DOUBLE:
+            vals = struct.unpack(f"<{nnz}d", vpay[: 8 * nnz])
+        elif vtype == _MI_SINGLE:
+            vals = struct.unpack(f"<{nnz}f", vpay[: 4 * nnz])
+        elif vtype in _MI_INT_TYPES:
+            vals = [float(x) for x in _mat_ints(vtype, vpay)[:nnz]]
+        else:
+            vals = [1.0] * nnz
         p = 0
         for col in range(n):
             for k in range(jc[col], jc[col + 1]):
@@ -1738,17 +1750,24 @@ def write_mat(graph: Graph, path: str, key: str = "G") -> None:
         pr.extend(w for _, w in ent)
         jc.append(len(ir))
     nnz = len(ir)
+    # nzmax must never be 0 (MATLAB requires >= 1) and the ir/pr buffers
+    # are sized nzmax by strict readers (scipy pads the same way), so
+    # pad the arrays out to nzmax — jc[n] == nnz tells readers how many
+    # entries are live, the pad is dead capacity.
+    nzmax = max(nnz, 1)
+    ir_p = ir + [0] * (nzmax - nnz)
+    pr_p = pr + [0.0] * (nzmax - nnz)
     body = b"".join(
         [
             # array flags: class + flags word, nzmax
             _mat_element(
-                _MI_UINT32, struct.pack("<II", _MX_SPARSE_CLASS, max(nnz, 1))
+                _MI_UINT32, struct.pack("<II", _MX_SPARSE_CLASS, nzmax)
             ),
             _mat_element(_MI_INT32, struct.pack("<ii", n, n)),
             _mat_element(_MI_INT8, key.encode("ascii")),
-            _mat_element(_MI_INT32, struct.pack(f"<{nnz}i", *ir)),
+            _mat_element(_MI_INT32, struct.pack(f"<{nzmax}i", *ir_p)),
             _mat_element(_MI_INT32, struct.pack(f"<{n + 1}i", *jc)),
-            _mat_element(_MI_DOUBLE, struct.pack(f"<{nnz}d", *pr)),
+            _mat_element(_MI_DOUBLE, struct.pack(f"<{nzmax}d", *pr_p)),
         ]
     )
     header = (
