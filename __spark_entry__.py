@@ -1817,7 +1817,12 @@ def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle family as q_betweenness) and asserts TRUE — so a hash match
     verifies BOTH the exact scores and that every vertex honors the
     (ε, δ) guarantee (seeded sampler ⇒ deterministic realized errors on
-    a fixed input). Reference contract:
+    a fixed input). Caveat, by design: the KADABRA guarantee is
+    PROBABILISTIC (holds with prob 1−δ, δ=0.1) — the all-TRUE oracle is
+    sound only for THIS pinned seed/fixture pair. If the testdata is
+    ever regenerated at a new scale factor, re-measure the realized max
+    error before reading a mismatch here as an engine bug.
+    Reference contract:
     include/networkit/centrality/KadabraBetweenness.hpp:81."""
     from networkit_spark import Betweenness
     from networkit_spark.operators.kadabra import KadabraBetweenness

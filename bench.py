@@ -187,6 +187,11 @@ def main() -> None:
     if os.path.exists(runs_path):
         with open(runs_path) as f:
             lines = [json.loads(ln) for ln in f if ln.strip()]
+        # protocol records (e.g. record5's ceiling-normalized session)
+        # carry their own schema; the pair table below aggregates only
+        # plain (low, high) pair records
+        record5 = [r for r in lines if r.get("protocol") == "record5"]
+        lines = [r for r in lines if "low" in r and "high" in r]
         # sandbox interference only ever LOWERS throughput, so aggregate
         # each (N, 4N) pair by its best recorded efficiency — median per
         # record, best-of-runs within a record where the run matrix
@@ -221,6 +226,24 @@ def main() -> None:
             }
             for key, (eff, basis, rec) in sorted(best.items())
         ]
+        if record5:
+            r5 = record5[-1]
+            scaling.append(
+                {
+                    "protocol": "record5",
+                    "edges": r5["n2"]["edges"],
+                    "raw_efficiency_median": r5["raw_efficiency_median"],
+                    "raw_efficiency_best": r5["raw_efficiency_best"],
+                    "ceiling_normalized_efficiency_median": r5[
+                        "ceiling_normalized_efficiency_median"
+                    ],
+                    "ceiling_normalized_efficiency_best": r5[
+                        "ceiling_normalized_efficiency_best"
+                    ],
+                    "bandwidth_fair_efficiency": r5["bandwidth_fair_efficiency"],
+                    "ceiling_eps": r5["ceiling_eps"],
+                }
+            )
 
     total = round(sum(per_query.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

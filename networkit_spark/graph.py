@@ -384,8 +384,14 @@ class Graph:
                 (rev_t, "dst", ("dst", "src"), "edges_rev"),
             ):
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
+                # repartition on the SAME murmur3-hash the bucketing
+                # uses, so each write task holds exactly one bucket and
+                # emits exactly one file — without this, a W-task input
+                # frame writes up to W x B files and the scan drowns in
+                # file-open overhead at load time
                 (
-                    df.write.mode("overwrite")
+                    df.repartition(buckets, F.col(bcol))
+                    .write.mode("overwrite")
                     .format("parquet")
                     .bucketBy(buckets, bcol)
                     .sortBy(*scols)

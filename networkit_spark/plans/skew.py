@@ -93,8 +93,8 @@ def salted_gather_join(
 #: overhead (state replication + wider key). Set from the round-5
 #: microbench (`scripts/skew_microbench.py`, BENCH/skew_microbench.md):
 #: at 76M edges / 32 partitions, a 10%-share hub src (= 3.2 average
-#: partitions) already costs ~2.3x per round unsalted and is fully
-#: recovered by n_salts=32 salting, while AQE cannot help at all — the
+#: partitions) costs ~3.6x per round unsalted (median 8.98s vs 2.48s)
+#: and is fully recovered by n_salts=32 salting, while AQE cannot help — the
 #: skew is baked into the persisted iterate layout, and there is no
 #: exchange left for OptimizeSkewedJoin to split. A key at ~2 average
 #: partitions is round-time-neutral. Policy: engage between 2 and 3

@@ -1,0 +1,155 @@
+"""Record 5 — the round-5, fully self-contained N→4N scaling session.
+
+Round-4 state of the evidence: the raw pinned 2→8 pair fell to
+0.742/0.774 because the engine's N leg got ~20% faster while the 4N
+leg already sits at ~96% of the box's single-socket bandwidth ceiling.
+The round-4 verdict sanctioned two fixes, both implemented here and
+both measured ENTIRELY in this session (no reliance on prior rounds):
+
+1. **Bigger input** — 256 disjoint shifted copies of the sf0.1 link
+   graph (~153M edges): per-iteration fixed overhead stops taxing the
+   short 4N leg, and every leg runs long enough for steady state.
+2. **Ceiling-normalized protocol** — efficiency =
+   ``eps_4N / min(4 · eps_N, C)`` where ``C`` is the box's saturation
+   throughput measured in the SAME session on the SAME job/input (the
+   16-core pinned level; by round-4's saturation table the box peaks
+   at ~8-16 cores). Rationale: on a one-box emulation the 4N leg
+   shares ONE socket's memory bandwidth, while a real 4N-executor
+   cluster brings 4× the channels; ``min(4·eps_N, C)`` is the most any
+   4N configuration could physically deliver on this box, so the ratio
+   is "fraction of attainable scaling actually delivered". The raw
+   ratio is reported alongside, never hidden.
+
+Plus one measurement no earlier round had — the **bandwidth-fair N
+leg**: 4 concurrent 2-core jobs pinned to disjoint core pairs
+(0-1 / 2-3 / 4-5 / 6-7). Each child then sees the same
+bandwidth-per-core the 8-core leg sees, which is exactly the resource
+ratio a real N→4N executor scale-up preserves. Efficiency on that
+basis = eps_8 / (4 · median per-child eps). This measures the
+bandwidth-contention explanation instead of asserting it.
+
+Runs ~1h. Appends the full record to BENCH/scaling_runs.jsonl and
+writes BENCH/record5.md; BENCH/BASELINE.md §Record 5 is the curated
+summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import scaling_bench  # noqa: E402  (sibling module)
+
+REPLICAS = int(os.environ.get("SPARK_GRAFT_R5_REPLICAS", "256"))
+
+
+def med_eps(rec):
+    return rec["edges_per_sec_per_iter"]
+
+
+def best_eps(rec):
+    return rec["edges_per_sec_per_iter_best"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out = {"protocol": "record5", "replicas": REPLICAS, "sf_dir": sf_dir}
+
+    print(f"[record5] N leg: local[2] pinned 0-1, {REPLICAS} replicas",
+          flush=True)
+    n2 = scaling_bench.run_level(2, sf_dir, replicas=REPLICAS)
+    print(json.dumps(n2), flush=True)
+
+    print("[record5] 4N leg: local[8] pinned 0-7", flush=True)
+    n8 = scaling_bench.run_level(8, sf_dir, replicas=REPLICAS)
+    print(json.dumps(n8), flush=True)
+
+    print("[record5] ceiling probe: local[16] pinned 0-15", flush=True)
+    c16 = scaling_bench.run_level(16, sf_dir, replicas=REPLICAS)
+    print(json.dumps(c16), flush=True)
+
+    print("[record5] bandwidth-fair N leg: 4 concurrent local[2] children",
+          flush=True)
+    pins = ["0-1", "2-3", "4-5", "6-7"]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(
+                scaling_bench.run_level,
+                2,
+                sf_dir,
+                cpuset=pin,
+                driver_mem="26g",
+                replicas=REPLICAS,
+            )
+            for pin in pins
+        ]
+        fair_children = [f.result() for f in futs]
+    for c in fair_children:
+        print(json.dumps(c), flush=True)
+
+    # ---- aggregation ---------------------------------------------------
+    ceiling = max(best_eps(n8), best_eps(c16))
+    raw_med = med_eps(n8) / med_eps(n2) / 4.0
+    raw_best = best_eps(n8) / best_eps(n2) / 4.0
+    norm_med = med_eps(n8) / min(4.0 * med_eps(n2), ceiling)
+    norm_best = best_eps(n8) / min(4.0 * best_eps(n2), ceiling)
+    fair_meds = sorted(med_eps(c) for c in fair_children)
+    fair_per_child = fair_meds[len(fair_meds) // 2]
+    fair_eff = med_eps(n8) / (4.0 * fair_per_child)
+
+    out.update(
+        {
+            "n2": n2,
+            "n8": n8,
+            "c16": c16,
+            "fair_children": fair_children,
+            "ceiling_eps": ceiling,
+            "raw_efficiency_median": round(raw_med, 3),
+            "raw_efficiency_best": round(raw_best, 3),
+            "ceiling_normalized_efficiency_median": round(norm_med, 3),
+            "ceiling_normalized_efficiency_best": round(norm_best, 3),
+            "bandwidth_fair_per_child_eps": fair_per_child,
+            "bandwidth_fair_efficiency": round(fair_eff, 3),
+        }
+    )
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
+    with open(os.path.join(REPO, "BENCH", "record5.md"), "w") as f:
+        f.write(
+            f"""# Record 5 raw output (see BENCH/BASELINE.md for the curated summary)
+
+Input: {sf_dir} × {REPLICAS} disjoint shifted copies =
+{n2['edges']:,} edges. Fresh pinned JVM per level, 1 full-length warm
+pass + 3 timed runs each, PageRank 8 fixed rounds via the public
+operator.
+
+| leg | pin | walls (s) | median eps/iter | best eps/iter |
+|---|---|---|---|---|
+| local[2] (N) | 0-1 | {n2['wall_s_runs']} | {med_eps(n2):,.0f} | {best_eps(n2):,.0f} |
+| local[8] (4N) | 0-7 | {n8['wall_s_runs']} | {med_eps(n8):,.0f} | {best_eps(n8):,.0f} |
+| local[16] (ceiling probe) | 0-15 | {c16['wall_s_runs']} | {med_eps(c16):,.0f} | {best_eps(c16):,.0f} |
+| 4 × local[2] concurrent (bandwidth-fair N) | {', '.join(pins)} | per-child medians {fair_meds} | median child {fair_per_child:,.0f} | — |
+
+- Same-session ceiling C = {ceiling:,.0f} eps/iter.
+- Raw efficiency: **{raw_med:.3f}** median / **{raw_best:.3f}** best-of-3.
+- Ceiling-normalized: eps_4N / min(4·eps_N, C) = **{norm_med:.3f}**
+  median / **{norm_best:.3f}** best-of-3.
+- Bandwidth-fair: eps_4N / (4 · median per-child eps under 4-way
+  contention) = **{fair_eff:.3f}**.
+"""
+        )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,14 +88,32 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(
+    cpus: int,
+    sf_dir: str,
+    cpuset: str | None = None,
+    driver_mem: str | None = None,
+    replicas: int | None = None,
+) -> dict:
+    """One pinned child JVM at ``cpus`` parallelism. ``cpuset`` overrides
+    the default ``0..cpus-1`` host-CPU pin (used by the bandwidth-fair
+    concurrent protocol, where 4 children pin to disjoint core pairs);
+    ``driver_mem`` overrides the 48g default (concurrent children must
+    split the box's RAM)."""
     code = CHILD.format(
-        repo=REPO, cpus=cpus, sf_dir=sf_dir, replicas=REPLICAS, iters=ITERS
+        repo=REPO,
+        cpus=cpus,
+        sf_dir=sf_dir,
+        replicas=replicas if replicas is not None else REPLICAS,
+        iters=ITERS,
     )
     env = dict(os.environ)
     # the replicated graph is GBs cached + shuffled; size the local JVM
     # accordingly (a real cluster sizes executors instead)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if driver_mem is not None:
+        env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
+    else:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     # Pin the whole process tree to exactly `cpus` host CPUs. Without
     # pinning, the "local[1]" leg silently borrows the other 31 host
     # cores for JVM GC, JIT-compiler, and shuffle/netty daemon threads,
@@ -104,7 +122,8 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     # executor on a shared box.
     argv = [sys.executable, "-c", code]
     if os.path.exists("/usr/bin/taskset"):
-        argv = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + argv
+        pin = cpuset or (f"0-{cpus - 1}" if cpus > 1 else "0")
+        argv = ["/usr/bin/taskset", "-c", pin] + argv
     out = subprocess.run(
         argv,
         capture_output=True,
@@ -114,7 +133,8 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
-        log = os.path.join("/tmp", f"scaling_child_{cpus}.log")
+        tag = (cpuset or "default").replace(",", "_").replace("-", "_")
+        log = os.path.join("/tmp", f"scaling_child_{cpus}_{tag}.log")
         with open(log, "w") as f:
             f.write(f"rc={out.returncode}\nSTDOUT:\n{out.stdout}\nSTDERR:\n")
             f.write(

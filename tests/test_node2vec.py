@@ -119,3 +119,150 @@ def test_validation(spark, karate_ish):
         Node2Vec(karate_ish, p=0.0)
     with pytest.raises(ValueError):
         Node2Vec(karate_ish, walk_length=0)
+
+
+# ---------------------------------------------------------------------
+# Embedding-quality parity: PPMI + JL projection vs word2vec SGNS.
+#
+# The reference learns embeddings with SGNS over the walk corpus
+# (cpp/embedding/LearnEmbedding.cpp, Node2Vec.cpp:36-62); this engine
+# substitutes the exact shifted-PPMI factorization + seeded Rademacher
+# projection (Levy & Goldberg 2014 prove SGNS implicitly factorizes
+# shifted PPMI — public result, documented at node2vec.py module doc).
+# The vectors differ feature-by-feature BY CONSTRUCTION; what must
+# match is downstream quality. This test measures both embeddings on
+# the same task — link prediction on held-out edges via cosine score —
+# and requires both AUCs above a floor and within a band of each
+# other, turning the documented substitution into a measured
+# equivalence.
+# ---------------------------------------------------------------------
+
+
+def _two_community_edges():
+    """Deterministic 2-community graph: dense intra, sparse inter."""
+    edges = []
+    for lo, hi in ((0, 15), (15, 30)):
+        for a in range(lo, hi):
+            for b in range(a + 1, hi):
+                if (a * 31 + b * 17) % 5 < 2:  # ~40% intra density
+                    edges.append((a, b))
+    edges += [(3, 18), (7, 22), (11, 27)]  # bridges
+    return edges
+
+
+def _auc(scores_pos, scores_neg):
+    """Rank-based AUC (Mann-Whitney)."""
+    pairs = 0.0
+    for p in scores_pos:
+        for n in scores_neg:
+            pairs += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return pairs / (len(scores_pos) * len(scores_neg))
+
+
+def _cos(u, v):
+    import numpy as np
+
+    nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+    if nu == 0 or nv == 0:
+        return 0.0
+    return float(u @ v / (nu * nv))
+
+
+def _sgns_train(walks_rows, n_nodes, dim, window, seed, epochs=5):
+    """Minimal word2vec SGNS on the walk corpus — the reference's
+    LearnEmbedding contract (skip-gram, negative sampling k=5,
+    unigram^0.75 noise, lr decay), deterministic via a seeded RNG."""
+    import numpy as np
+
+    from collections import defaultdict
+
+    walks = defaultdict(dict)
+    for r in walks_rows:
+        walks[r["walk_id"]][r["pos"]] = r["node"]
+    corpus = [
+        [w[p] for p in sorted(w)] for w in walks.values()
+    ]
+    rng = np.random.default_rng(seed)
+    W = (rng.random((n_nodes, dim)) - 0.5) / dim
+    C = np.zeros((n_nodes, dim))
+    counts = np.zeros(n_nodes)
+    for s in corpus:
+        for t in s:
+            counts[t] += 1
+    noise = counts**0.75
+    noise /= noise.sum()
+    k = 5
+    lr0 = 0.05
+    steps = sum(len(s) for s in corpus) * epochs
+    step = 0
+    for _ in range(epochs):
+        for s in corpus:
+            for i, center in enumerate(s):
+                lr = lr0 * max(1e-4, 1 - step / steps)
+                step += 1
+                for j in range(max(0, i - window), min(len(s), i + window + 1)):
+                    if j == i:
+                        continue
+                    ctx = s[j]
+                    negs = rng.choice(n_nodes, size=k, p=noise)
+                    targets = [(ctx, 1.0)] + [(int(n), 0.0) for n in negs]
+                    g_center = np.zeros(dim)
+                    for t, label in targets:
+                        z = 1.0 / (1.0 + np.exp(-W[center] @ C[t]))
+                        g = (z - label) * lr
+                        g_center += g * C[t]
+                        C[t] -= g * W[center]
+                    W[center] -= g_center
+    return W
+
+
+@pytest.mark.slow
+def test_ppmi_jl_matches_sgns_link_prediction_quality(spark):
+    import numpy as np
+
+    edges = _two_community_edges()
+    # deterministic 15% holdout of intra-community edges (keep bridges
+    # so the train graph stays connected)
+    held = [
+        (a, b)
+        for (a, b) in edges
+        if abs(a - b) < 15 and (a * 13 + b * 7) % 7 == 0
+    ]
+    train = [e for e in edges if e not in set(held)]
+    g = _graph(spark, [(a, b, 1.0) for a, b in train])
+
+    n2v = Node2Vec(
+        g, p=1.0, q=1.0, walk_length=20, walks_per_node=8, dim=32,
+        window=5, seed=7,
+    ).run()
+    feats = {
+        r["id"]: np.array(r["feature"]) for r in n2v.get_features().collect()
+    }
+    walks_rows = n2v.walks().collect()
+    sgns = _sgns_train(walks_rows, n_nodes=30, dim=32, window=5, seed=7)
+
+    # negatives: deterministic non-edges, same count as positives
+    edge_set = set(edges) | {(b, a) for a, b in edges}
+    negs = []
+    a, b = 0, 1
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if (a, b) not in edge_set and (a * 11 + b * 3) % 5 == 0:
+                negs.append((a, b))
+    negs = negs[: len(held)]
+    assert len(held) >= 8 and len(negs) == len(held)
+
+    auc_ppmi = _auc(
+        [_cos(feats[a], feats[b]) for a, b in held],
+        [_cos(feats[a], feats[b]) for a, b in negs],
+    )
+    auc_sgns = _auc(
+        [_cos(sgns[a], sgns[b]) for a, b in held],
+        [_cos(sgns[a], sgns[b]) for a, b in negs],
+    )
+    # both learners must beat the floor on the SAME corpus, and land
+    # within a band of each other — the measured Levy-Goldberg
+    # equivalence for this engine's substitution
+    assert auc_ppmi >= 0.75, f"PPMI+JL AUC {auc_ppmi}"
+    assert auc_sgns >= 0.75, f"SGNS AUC {auc_sgns}"
+    assert abs(auc_ppmi - auc_sgns) <= 0.15, (auc_ppmi, auc_sgns)
