@@ -221,13 +221,23 @@ def test_ppmi_jl_matches_sgns_link_prediction_quality(spark):
     import numpy as np
 
     edges = _two_community_edges()
-    # deterministic 15% holdout of intra-community edges (keep bridges
-    # so the train graph stays connected)
-    held = [
-        (a, b)
-        for (a, b) in edges
-        if abs(a - b) < 15 and (a * 13 + b * 7) % 7 == 0
-    ]
+    # deterministic ~15% holdout of intra-community edges, greedy with
+    # a degree guard: never orphan a node (every endpoint keeps >= 2
+    # train edges) and skip bridges so the train graph stays connected
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    held = []
+    for a, b in edges:
+        if abs(a - b) >= 15:
+            continue  # bridge
+        if (a * 13 + b * 7) % 7 == 0 and deg[a] > 2 and deg[b] > 2:
+            held.append((a, b))
+            deg[a] -= 1
+            deg[b] -= 1
     train = [e for e in edges if e not in set(held)]
     g = _graph(spark, [(a, b, 1.0) for a, b in train])
 
