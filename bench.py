@@ -227,7 +227,12 @@ def main() -> None:
             for key, (eff, basis, rec) in sorted(best.items())
         ]
         if record5:
-            r5 = record5[-1]
+            # prefer the record that carries the executor-faithful
+            # (bandwidth-fair) measurement — the headline basis
+            with_fair = [
+                r for r in record5 if r.get("bandwidth_fair_efficiency")
+            ]
+            r5 = (with_fair or record5)[-1]
             scaling.append(
                 {
                     "protocol": "record5",
@@ -241,6 +246,15 @@ def main() -> None:
                         "ceiling_normalized_efficiency_best"
                     ],
                     "bandwidth_fair_efficiency": r5["bandwidth_fair_efficiency"],
+                    # HEADLINE basis (BENCH/BASELINE.md §Record 5):
+                    # N executors = 1 pinned local[2] JVM, 4N = 4 such
+                    # JVMs on disjoint cpusets; aggregate/(4x solo)
+                    "executor_scaling_efficiency_median": r5.get(
+                        "executor_scaling_efficiency_median"
+                    ),
+                    "executor_scaling_efficiency_best": r5.get(
+                        "executor_scaling_efficiency_best"
+                    ),
                     "ceiling_eps": r5["ceiling_eps"],
                 }
             )
