@@ -71,8 +71,22 @@ class PageRank(Centrality):
         store: CheckpointStore | None = None,
         broadcast_ranks: bool | None = None,
         unroll: int = 1,
+        salt_hubs: int | None = None,
     ) -> None:
-        """``unroll`` — power-iteration rounds chained per materialized
+        """``salt_hubs=k`` — engage the skew-proof salted iterate layout
+        (``plans/skew.py``) with k salts for hub SRC keys (keys above
+        ``HUB_PARTITION_SHARE`` average partitions of the contrib
+        frame): hub rows spread over k ``(src, salt)`` sub-partitions
+        and the per-round state replicates k× for hub keys only, so no
+        cached partition — and therefore no per-round task — carries a
+        hub's full row mass (AQE cannot split a persisted partition;
+        the microbench in BENCH/skew_microbench.md measures a 3.6×
+        per-round straggler unsalted, fully recovered salted). Results
+        equal the unsalted run up to float summation order. Default
+        OFF: the driver-gate graphs carry no qualifying hub and
+        bit-exact reproducibility is part of the oracle contract.
+
+        ``unroll`` — power-iteration rounds chained per materialized
         job (default 1 = reference semantics: tolerance tested after
         every round, ``PageRank.cpp:40-53``). With ``unroll=k`` the
         round transformation is applied k times inside one plan before
@@ -95,6 +109,9 @@ class PageRank(Centrality):
         self.store = store
         self.broadcast_ranks = broadcast_ranks
         self.unroll = unroll
+        if salt_hubs is not None and salt_hubs < 2:
+            raise ValueError("salt_hubs must be >= 2 (or None)")
+        self.salt_hubs = salt_hubs
         self._iterations = 0
 
     def number_of_iterations(self) -> int:
@@ -144,7 +161,34 @@ class PageRank(Centrality):
 
         contrib = self._build_contrib()
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        contrib = contrib.repartition(shuffle_parts, "src").persist()
+        hubs = None
+        if self.salt_hubs:
+            from networkit_spark.plans.skew import (
+                hub_keys,
+                salted_iterate_layout,
+            )
+
+            cand = hub_keys(contrib, "src", shuffle_parts).persist()
+            if cand.limit(1).count():
+                hubs = cand
+            else:
+                cand.unpersist()  # no qualifying hub: plain layout
+        if hubs is not None:
+            # hub rows spread over (src, salt(dst)); the per-round state
+            # side replicates hub keys across salts (salted_state below)
+            contrib, _, _ = salted_iterate_layout(
+                contrib,
+                g.vertices.select("id", F.lit(0.0).alias("rank")),
+                "src",
+                "id",
+                hubs,
+                salt_from="dst",
+                n_salts=self.salt_hubs,
+                num_partitions=shuffle_parts,
+            )
+            contrib = contrib.persist()
+        else:
+            contrib = contrib.repartition(shuffle_parts, "src").persist()
         vertices = g.vertices
 
         do_broadcast = (
@@ -179,9 +223,23 @@ class PageRank(Centrality):
             # permanent self-rows stand in for the outer join AND the
             # old-rank carry — see _build_contrib), so unrolled chains
             # stay linear in plan size.
-            gather = (
-                F.broadcast(r_in) if do_broadcast else r_in.hint("shuffle_hash")
-            )
+            cond = F.col("c.src") == F.col("g.id")
+            if do_broadcast:
+                # broadcast join: no partitioning requirement on either
+                # side, so even with a salted layout the bare key
+                # condition is enough (each contrib row matches the one
+                # broadcast state row; the layout alone fixed the
+                # cached-partition skew)
+                gather = F.broadcast(r_in)
+            elif hubs is not None:
+                from networkit_spark.plans.skew import salted_state
+
+                gather = salted_state(
+                    r_in, "id", hubs, "src", self.salt_hubs
+                ).hint("shuffle_hash")
+                cond = cond & (F.col("c._salt") == F.col("g._salt"))
+            else:
+                gather = r_in.hint("shuffle_hash")
             aggs = [
                 F.sum(F.col("g.rank") * F.col("c.frac")).alias("msum")
             ]
@@ -193,7 +251,7 @@ class PageRank(Centrality):
                 )
             agg = (
                 contrib.alias("c")
-                .join(gather.alias("g"), F.col("c.src") == F.col("g.id"))
+                .join(gather.alias("g"), cond)
                 .groupBy(F.col("c.dst").alias("dst"))
                 .agg(*aggs)
             )
@@ -266,6 +324,8 @@ class PageRank(Centrality):
         total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
         self._scores = ranks.select("id", (F.col("rank") / F.lit(total)).alias("score"))
         contrib.unpersist()
+        if hubs is not None:
+            hubs.unpersist()
 
 
 class EigenvectorCentrality(Centrality):

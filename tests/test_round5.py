@@ -199,6 +199,52 @@ def test_salted_iterate_layout_equals_unsalted(spark):
     assert st2.where(F.col("id") != 0).count() == state.count() - 1
 
 
+def test_pagerank_salt_hubs_equals_unsalted(spark):
+    from networkit_spark import PageRank
+
+    # vertex 0 emits ~60% of all edges — qualifies as a hub under
+    # HUB_PARTITION_SHARE at any partition count used in tests
+    pairs = [(0, i % 50 + 1) for i in range(150)] + [
+        (i, i % 7 + 1) for i in range(1, 51)
+    ]
+    g = _graph(spark, pairs, directed=True)
+    base = {
+        r["id"]: r["score"]
+        for r in PageRank(g, tol=1e-9, norm="l1").run().scores().collect()
+    }
+    for bc in (True, False):
+        salted = PageRank(
+            g, tol=1e-9, norm="l1", broadcast_ranks=bc, salt_hubs=4
+        ).run()
+        got = {r["id"]: r["score"] for r in salted.scores().collect()}
+        assert set(got) == set(base)
+        assert all(abs(got[k] - base[k]) < 1e-12 for k in base), bc
+
+
+def test_pagerank_salt_hubs_noop_without_hub(spark):
+    from networkit_spark import PageRank
+
+    # ring graph: perfectly uniform degrees, no qualifying hub — the
+    # salted path must detect that and run the plain layout
+    pairs = [(i, (i + 1) % 20) for i in range(20)]
+    g = _graph(spark, pairs, directed=True)
+    a = PageRank(g, tol=1e-9, norm="l1").run().scores().collect()
+    b = PageRank(g, tol=1e-9, norm="l1", salt_hubs=8).run().scores().collect()
+    assert sorted((r["id"], round(r["score"], 12)) for r in a) == sorted(
+        (r["id"], round(r["score"], 12)) for r in b
+    )
+
+
+def test_pagerank_salt_hubs_validation(spark):
+    import pytest as _pytest
+
+    from networkit_spark import PageRank
+
+    g = _graph(spark, [(0, 1)], directed=True)
+    with _pytest.raises(ValueError, match="salt_hubs"):
+        PageRank(g, salt_hubs=1)
+
+
 # --------------------------------------------------------- MAT codec
 
 
